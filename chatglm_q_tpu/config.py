@@ -1,0 +1,125 @@
+"""Model and load-time configuration.
+
+Re-creates the behavior of the reference's two config dataclasses
+(`ChatGLM2Config`, /root/reference/chatglm_q/model.py:9-22 and
+`ChatGLMLoadConfig`, /root/reference/chatglm_q/loader.py:16-38) with the same
+JSON schema so checkpoints produced by either implementation are mutually
+loadable.  TPU-specific knobs (mesh shape, kernel selection) live in
+:class:`TpuRuntimeConfig` and are deliberately *not* serialized into
+``config.json`` — on-disk format stays reference-compatible.
+"""
+from __future__ import annotations
+
+import json
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Literal, Optional
+
+import jax.numpy as jnp
+
+QuantType = Literal["none", "int8", "int4g32"]
+DTypeName = Literal["float32", "float16", "bfloat16"]
+
+# Group size along the contraction (K) dimension for int4 quantization.
+# Unlike the reference (module-level mutable ``DEFAULT_GROUP_SIZE``,
+# int4/qlinear.py:5), this is plumbed explicitly through configs.
+DEFAULT_GROUP_SIZE = 32
+
+
+@dataclass
+class ChatGLM2Config:
+    """ChatGLM2-6B architecture hyperparameters (reference model.py:9-22)."""
+
+    hidden_size: int = 4096
+    inner_hidden_size: int = 13696
+    head_hidden_size: int = 128
+
+    num_multi_query_groups: int = 2
+    num_attention_heads: int = 32
+    num_layers: int = 28
+
+    vocab_size: int = 65024
+    dropout_rate: float = 0.0
+    layernorm_epsilon: float = 1e-05
+    max_sequence_length: int = 8192
+
+    @property
+    def qkv_out_size(self) -> int:
+        return self.head_hidden_size * (
+            self.num_attention_heads + 2 * self.num_multi_query_groups
+        )
+
+    @property
+    def q_size(self) -> int:
+        return self.head_hidden_size * self.num_attention_heads
+
+    @property
+    def kv_size(self) -> int:
+        return self.head_hidden_size * self.num_multi_query_groups
+
+
+def dtype_from_name(name: DTypeName):
+    return {
+        "float32": jnp.float32,
+        "float16": jnp.float16,
+        "bfloat16": jnp.bfloat16,
+    }[name]
+
+
+@dataclass
+class GLMLoadConfig:
+    """Serialization config; JSON-compatible with the reference
+    ``ChatGLMLoadConfig`` (loader.py:16-38) including field names and
+    the strict ``model_type`` validation (loader.py:25-28)."""
+
+    model_type: str = "ChatGLM2Model"
+    model_config: ChatGLM2Config = field(default_factory=ChatGLM2Config)
+    quant_type: QuantType = "none"
+    weight_files: list = field(default_factory=list)
+    tokenizer_file: str = "sentencepiece.model"
+    torch_dtype: DTypeName = "float32"
+
+    def __post_init__(self):
+        assert self.model_type == "ChatGLM2Model", "Only 'ChatGLM2Model' is supported"
+        if not isinstance(self.model_config, ChatGLM2Config):
+            self.model_config = ChatGLM2Config(**self.model_config)
+        assert self.quant_type in ("none", "int8", "int4g32"), self.quant_type
+        assert self.torch_dtype in ("float32", "float16", "bfloat16"), self.torch_dtype
+
+    @property
+    def activation_dtype(self):
+        return dtype_from_name(self.torch_dtype)
+
+    @staticmethod
+    def from_json(json_str) -> "GLMLoadConfig":
+        return GLMLoadConfig(**json.loads(json_str))
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), ensure_ascii=False, indent=2)
+
+
+@dataclass(frozen=True)
+class TpuRuntimeConfig:
+    """TPU-only runtime knobs — never serialized to checkpoint config.json.
+
+    use_pallas: run fused Pallas dequant-matmul / attention kernels.  When
+        False (or when the active backend is not TPU) the pure-jnp fallback
+        ops are used; those fallbacks double as the test oracles, mirroring
+        the reference's Triton→torch fallback switch
+        (int8/qlinear.py:6-16).
+    """
+
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend only)
+    # Matmul M-dimension at or below which the fused (bandwidth-bound) decode
+    # kernels are used; above it, prefill-style dequant-then-matmul is used.
+    decode_m_threshold: int = 128
+    # Flash-attention block sizes.
+    attn_block_q: int = 256
+    attn_block_k: int = 512
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax
+
+        return jax.default_backend() == "tpu"

@@ -1,0 +1,444 @@
+"""Pure-functional ChatGLM2 model core for TPU (JAX).
+
+Re-creates the numerics of the reference model (/root/reference/chatglm_q/
+model.py: RMSNorm :62-73, half-bypass interleaved RoPE :35-59, MQA attention
+:90-177, SwiGLU FFN :180-201, pre-norm blocks :204-246, full model :249-392)
+in an idiomatic JAX design:
+
+* parameters are a plain pytree; per-layer tensors are stacked on a leading
+  ``L`` axis and the layer stack runs under ``lax.scan`` (compile-time O(1)
+  in depth, unlike the reference's Python loop model.py:371-379);
+* two forward paths:
+  - :func:`forward` — "parity mode", the reference's exact semantics
+    (materialized additive mask model.py:311-317, cumsum position ids
+    :306-307, optional shifted CE loss :384-388); used for ppl/C-Eval and
+    golden tests;
+  - :func:`prefill` / :func:`decode_step` — serving mode with a
+    **preallocated** KV cache updated via ``lax.dynamic_update_slice`` and
+    per-row lengths (the one deliberate departure from the reference's
+    per-step ``torch.cat`` cache realloc, model.py:151-155, which is
+    incompatible with jit static shapes);
+* fused projections are stored split (q|kv, h|gate) so tensor-parallel
+  sharding never crosses a semantic boundary; the loader splits/merges to
+  stay checkpoint-compatible with the reference's fused tensors
+  (model.py:111, :194).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.struct
+
+from ..config import ChatGLM2Config, TpuRuntimeConfig
+from ..ops.linear import quant_linear, quant_embedding_lookup
+from ..ops import quant as Q
+
+MASK_VALUE = -1e10  # additive mask value, model.py:314
+
+_DEFAULT_RT = TpuRuntimeConfig()
+
+
+# ---------------------------------------------------------------------------
+# RoPE (half of head_dim bypassed; interleaved [r, i] pairs)  model.py:35-59
+# ---------------------------------------------------------------------------
+
+def precompute_freqs_cis(dim: int, length: int, theta: float = 10000.0) -> np.ndarray:
+    """Rotary table, shape (length, dim), where ``dim`` = head_hidden_size.
+
+    Matches reference ``precompute_freqs_cis`` (model.py:35-43): only the
+    first half of the head dim rotates; the second half gets identity
+    (cos=1, sin=0) "bypass" freqs.  Flattened layout per position:
+    [c0, s0, c1, s1, ..., 1, 0, 1, 0, ...] of size dim.
+    """
+    assert dim % 4 == 0
+    half = dim // 2
+    freqs = 1.0 / (theta ** (np.arange(0, half, 2, dtype=np.float32) / half))
+    angles = np.outer(np.arange(length, dtype=np.float32), freqs)  # (L, half//2)
+    rot = np.stack([np.cos(angles), np.sin(angles)], axis=-1)      # (L, half//2, 2)
+    byp = np.stack([np.ones_like(angles), np.zeros_like(angles)], axis=-1)
+    table = np.concatenate([rot, byp], axis=-2)                     # (L, half, 2)
+    return table.reshape(length, dim)
+
+
+def apply_rotary_emb(x: jax.Array, freqs_cis: jax.Array) -> jax.Array:
+    """x (..., S, G, H, D); freqs_cis (..., S, 1, 1, D) with [cos, sin] pairs.
+
+    Real-arithmetic complex multiply on interleaved pairs — the reference's
+    fallback branch (model.py:56-59), which is bit-equivalent to its
+    view_as_complex fast path.
+    """
+    xs = x.shape
+    x2 = x.reshape(*xs[:-1], xs[-1] // 2, 2)
+    f2 = freqs_cis.reshape(*freqs_cis.shape[:-1], xs[-1] // 2, 2)
+    o_r = x2[..., 0] * f2[..., 0] - x2[..., 1] * f2[..., 1]
+    o_i = x2[..., 0] * f2[..., 1] + x2[..., 1] * f2[..., 0]
+    return jnp.stack([o_r, o_i], axis=-1).reshape(xs)
+
+
+# ---------------------------------------------------------------------------
+# Norm
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """fp32 rsqrt-mean-square then cast back, elementwise weight (model.py:62-73)."""
+    xf = x.astype(jnp.float32)
+    norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return norm.astype(x.dtype) * weight.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache (serving mode): preallocated, per-row lengths
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class KVCache:
+    k: jax.Array        # (L, B, S_max, G, D)
+    v: jax.Array        # (L, B, S_max, G, D)
+    lengths: jax.Array  # (B,) int32 — number of valid cached positions per row
+
+    @property
+    def max_length(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(
+    config: ChatGLM2Config, batch_size: int, max_length: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    L = config.num_layers
+    G = config.num_multi_query_groups
+    D = config.head_hidden_size
+    S = max_length or config.max_sequence_length
+    shape = (L, batch_size, S, G, D)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        lengths=jnp.zeros((batch_size,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attention + block
+# ---------------------------------------------------------------------------
+
+def _attention_scores(q, k, v, mask_bias):
+    """q (B,S,G,Hg,D), k/v (B,T,G,{1|
+    }..,D) grouped MQA attention with additive
+    mask bias (B,1,1,S,T); softmax in fp32 (model.py:163-173)."""
+    B, S, G, Hg, D = q.shape
+    q = q / jnp.asarray(np.sqrt(D), q.dtype)
+    # scores (B, G, Hg, S, T)
+    scores = jnp.einsum("bsghd,btgd->bghst", q, k)
+    scores = scores.astype(jnp.float32) + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bghst,btgd->bsghd", probs, v)
+    return out.reshape(B, S, G * Hg * D)
+
+
+def block_forward(
+    layer_params: dict,
+    x: jax.Array,              # (B, S, H)
+    freqs_cis: jax.Array,      # (B, S, D) flattened rope coeffs per position
+    mask_bias: jax.Array,      # (B, 1, 1, S, T) additive fp32
+    config: ChatGLM2Config,
+    quant_type: str,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+    kv_write=None,             # None (parity: keys = this block) or
+                               # (cache_k (B,Smax,G,D), cache_v, start_idx (B,))
+):
+    """One pre-norm transformer block (model.py:204-246).
+
+    Returns (x_out, (k_full, v_full)) where k_full/v_full are the key/value
+    tensors actually attended over (parity mode: the new ones; serving mode:
+    the updated cache buffers).
+    """
+    B, S, H = x.shape
+    G = config.num_multi_query_groups
+    nH = config.num_attention_heads
+    D = config.head_hidden_size
+    Hg = nH // G
+
+    h = rms_norm(x, layer_params["attn_ln"]["weight"], config.layernorm_epsilon)
+
+    q = quant_linear(h, layer_params["q_proj"], quant_type, rt)
+    kv = quant_linear(h, layer_params["kv_proj"], quant_type, rt)
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    q = q.reshape(B, S, G, Hg, D)
+    k = k.reshape(B, S, G, 1, D)
+    f = freqs_cis[:, :, None, None, :]
+    q = apply_rotary_emb(q, f)
+    k = apply_rotary_emb(k, f).reshape(B, S, G, D)
+    v = v.reshape(B, S, G, D)
+
+    if kv_write is None:
+        k_full, v_full = k, v
+    else:
+        cache_k, cache_v, start = kv_write
+        # scatter the S new positions at per-row offsets
+        def upd(cache, new, s0):
+            return jax.lax.dynamic_update_slice(cache, new, (s0, 0, 0))
+        k_full = jax.vmap(upd)(cache_k, k, start)
+        v_full = jax.vmap(upd)(cache_v, v, start)
+
+    attn_out = _attention_scores(q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias)
+    attn_out = quant_linear(attn_out, layer_params["o_proj"], quant_type, rt)
+    x = x + attn_out
+
+    h = rms_norm(x, layer_params["ffn_ln"]["weight"], config.layernorm_epsilon)
+    gate_in = quant_linear(h, layer_params["w_in_h"], quant_type, rt)
+    gate = quant_linear(h, layer_params["w_in_gate"], quant_type, rt)
+    ffn = quant_linear(jax.nn.silu(gate_in) * gate, layer_params["w_out"], quant_type, rt)
+    x = x + ffn
+    return x, (k_full, v_full)
+
+
+# ---------------------------------------------------------------------------
+# Parity-mode forward (reference semantics incl. mask/positions/loss)
+# ---------------------------------------------------------------------------
+
+def build_parity_mask_and_positions(attention_mask: jax.Array, n_new: int):
+    """(B, S) 1/0 mask → additive (B, n_new, S) fp32 mask and (B, n_new)
+    position ids, exactly as reference ``prepare_input`` (model.py:303-318):
+    causal ∨ padding, ×(−1e10); position_ids = cumsum(mask) (starts at 1),
+    both aligned to the last ``n_new`` query positions.
+    """
+    B, S = attention_mask.shape
+    position_ids = jnp.cumsum(attention_mask, axis=1)
+    seq = jnp.arange(S)
+    causal = seq[:, None] < seq[None, :]
+    pad = ~attention_mask[:, None, :].astype(bool)
+    bias = (causal[None] | pad).astype(jnp.float32) * MASK_VALUE
+    return bias[:, -n_new:, :], position_ids[:, -n_new:]
+
+
+def forward(
+    params: dict,
+    config: ChatGLM2Config,
+    input_ids: jax.Array,                       # (B, S)
+    attention_mask: Optional[jax.Array] = None, # (B, S) 1/0
+    position_ids: Optional[jax.Array] = None,   # (B, S)
+    labels: Optional[jax.Array] = None,         # (B, S), −100 = ignore
+    quant_type: str = "none",
+    dtype=jnp.float32,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+):
+    """Full-sequence forward, reference semantics (model.py:329-392).
+
+    Returns (loss | None, logits (B, S, V) in activation dtype).
+    """
+    B, S = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    mask_bias, pos = build_parity_mask_and_positions(attention_mask, S)
+    if position_ids is not None:
+        pos = position_ids
+
+    freqs_table = jnp.asarray(
+        precompute_freqs_cis(config.head_hidden_size, config.max_sequence_length)
+    ).astype(dtype)
+    freqs_cis = freqs_table[pos]  # (B, S, D)
+
+    h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
+    mask5 = mask_bias[:, None, None, :, :]
+
+    def scan_body(h, layer_params):
+        h, _ = block_forward(
+            layer_params, h, freqs_cis, mask5, config, quant_type, rt, kv_write=None
+        )
+        return h, None
+
+    h, _ = jax.lax.scan(scan_body, h, params["layers"])
+
+    h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
+    logits = quant_linear(h, params["lm_head"], quant_type, rt)
+
+    loss = None
+    if labels is not None:
+        loss = cross_entropy_loss(logits, labels)
+    return loss, logits
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Shifted CE with −100 ignore index, mean over valid tokens
+    (model.py:384-388)."""
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_loss = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    token_loss = jnp.where(valid, token_loss, 0.0)
+    return jnp.sum(token_loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# ---------------------------------------------------------------------------
+# Serving-mode forward: prefill + decode_step over a preallocated cache
+# ---------------------------------------------------------------------------
+
+def _serving_freqs(config, positions, dtype):
+    table = jnp.asarray(
+        precompute_freqs_cis(config.head_hidden_size, config.max_sequence_length)
+    ).astype(dtype)
+    return table[positions]
+
+
+def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5, cache, start):
+    """Scan blocks over stacked layer params, threading per-layer cache slabs."""
+
+    def scan_body(h, inp):
+        layer_params, cache_k, cache_v = inp
+        h, (k_full, v_full) = block_forward(
+            layer_params, h, freqs_cis, mask5, config, quant_type, rt,
+            kv_write=(cache_k, cache_v, start),
+        )
+        return h, (k_full, v_full)
+
+    h, (new_k, new_v) = jax.lax.scan(scan_body, h, (params["layers"], cache.k, cache.v))
+    return h, new_k, new_v
+
+
+def prefill(
+    params: dict,
+    config: ChatGLM2Config,
+    input_ids: jax.Array,   # (B, S) right-padded
+    lengths: jax.Array,     # (B,) true lengths
+    cache: KVCache,
+    quant_type: str = "none",
+    dtype=jnp.bfloat16,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+):
+    """Prefill the cache from position 0 and return last-token logits (B, V).
+
+    Rows are right-padded; padded slots are written to the cache but masked
+    out of all attention by per-row lengths, and overwritten by later decode
+    steps.  Positions are 1-based to match the reference's
+    ``cumsum(attention_mask)`` convention (model.py:306-307).
+    """
+    B, S = input_ids.shape
+    T = cache.max_length
+    positions = jnp.arange(1, S + 1)[None, :].repeat(B, axis=0)
+    freqs_cis = _serving_freqs(config, positions, dtype)
+
+    h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
+
+    # query t attends cache slots j ≤ t (cache slot j holds token j)
+    tq = jnp.arange(S)[:, None]
+    tk = jnp.arange(T)[None, :]
+    bias = jnp.where(tk <= tq, 0.0, MASK_VALUE).astype(jnp.float32)  # (S, T)
+    mask5 = bias[None, None, None, :, :]
+
+    start = jnp.zeros((B,), jnp.int32)
+    h, new_k, new_v = _layers_scan_serving(
+        params, config, quant_type, rt, h, freqs_cis, mask5, cache, start
+    )
+
+    h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
+    # only the last valid position's logits are needed
+    last = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    logits = quant_linear(last, params["lm_head"], quant_type, rt)
+
+    new_cache = KVCache(k=new_k, v=new_v, lengths=lengths.astype(jnp.int32))
+    return logits, new_cache
+
+
+def decode_step(
+    params: dict,
+    config: ChatGLM2Config,
+    next_ids: jax.Array,  # (B,)
+    cache: KVCache,
+    quant_type: str = "none",
+    dtype=jnp.bfloat16,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+):
+    """One autoregressive step: write KV at slot ``lengths``, attend over
+    slots ≤ ``lengths``, return logits (B, V) and the updated cache."""
+    B = next_ids.shape[0]
+    T = cache.max_length
+    positions = (cache.lengths + 1)[:, None]  # 1-based
+    freqs_cis = _serving_freqs(config, positions, dtype)
+
+    h = quant_embedding_lookup(params["word_embedding"], next_ids[:, None], quant_type, dtype)
+
+    tk = jnp.arange(T)[None, :]
+    valid = tk <= cache.lengths[:, None]  # (B, T): slots 0..len (len = current)
+    bias = jnp.where(valid, 0.0, MASK_VALUE).astype(jnp.float32)
+    mask5 = bias[:, None, None, None, :]
+
+    h, new_k, new_v = _layers_scan_serving(
+        params, config, quant_type, rt, h, freqs_cis, mask5, cache, cache.lengths
+    )
+
+    h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
+    logits = quant_linear(h[:, 0], params["lm_head"], quant_type, rt)
+
+    new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + 1)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Random init (structure also serves as the param-tree schema)
+# ---------------------------------------------------------------------------
+
+def _init_linear(rng, k, n, bias, quant_type, dtype, scale=0.02):
+    w = jax.random.normal(rng, (k, n), jnp.float32) * scale
+    if quant_type == "none":
+        p = {"weight": w.astype(dtype)}
+    elif quant_type == "int8":
+        p = Q.quantize_linear_int8(w)
+    elif quant_type == "int4g32":
+        p = Q.quantize_linear_int4(w)
+    else:
+        raise NotImplementedError(quant_type)
+    if bias:
+        p["bias"] = jnp.zeros((n,), dtype)
+    return p
+
+
+def init_params(
+    rng: jax.Array,
+    config: ChatGLM2Config,
+    quant_type: str = "none",
+    dtype=jnp.float32,
+) -> dict:
+    """Random-init parameter pytree (tiny-model tests, benchmarks)."""
+    H, I = config.hidden_size, config.inner_hidden_size
+    V, L = config.vocab_size, config.num_layers
+    keys = jax.random.split(rng, 16)
+
+    emb_w = jax.random.normal(keys[0], (V, H), jnp.float32) * 0.02
+    if quant_type == "none":
+        emb = {"weight": emb_w.astype(dtype)}
+    elif quant_type == "int8":
+        emb = Q.quantize_embedding_int8(emb_w)
+    else:
+        emb = Q.quantize_embedding_int4(emb_w)
+
+    def stacked_linear(rng, k, n, bias):
+        rngs = jax.random.split(rng, L)
+        return jax.vmap(
+            lambda r: _init_linear(r, k, n, bias, quant_type, dtype)
+        )(rngs)
+
+    layers = {
+        "attn_ln": {"weight": jnp.ones((L, H), dtype)},
+        "q_proj": stacked_linear(keys[1], H, config.q_size, True),
+        "kv_proj": stacked_linear(keys[2], H, 2 * config.kv_size, True),
+        "o_proj": stacked_linear(keys[3], config.q_size, H, False),
+        "ffn_ln": {"weight": jnp.ones((L, H), dtype)},
+        "w_in_h": stacked_linear(keys[4], H, I, False),
+        "w_in_gate": stacked_linear(keys[5], H, I, False),
+        "w_out": stacked_linear(keys[6], I, H, False),
+    }
+
+    return {
+        "word_embedding": emb,
+        "layers": layers,
+        "final_ln": {"weight": jnp.ones((H,), dtype)},
+        "lm_head": _init_linear(keys[7], H, V, False, quant_type, dtype),
+    }

@@ -1,0 +1,172 @@
+"""Quantized/dense linear ops with custom VJP (grad w.r.t. activations only).
+
+Re-creates the role of the reference's ``DynamicQuantizeMatMul`` autograd
+functions (int8/qlinear.py:19-75, int4/qlinear.py:36-72): forward is a fused
+dequant+matmul (Pallas kernel on TPU, pure-jnp fallback elsewhere), backward
+propagates a gradient only to the activation via the transposed dequant+matmul,
+and the quantized weights/scales receive no gradient — so a model with frozen
+quantized weights can still be tuned through (the reference's
+"tune-through-quantized-layers" capability).
+
+The jnp fallback is simultaneously the CPU path and the Pallas test oracle,
+mirroring the reference's Triton→torch fallback switch (int8/qlinear.py:6-16).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import TpuRuntimeConfig
+from . import quant as Q
+
+_DEFAULT_RT = TpuRuntimeConfig()
+
+
+def _float0_zeros(x):
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _use_pallas(flags) -> bool:
+    use_pallas, _ = flags
+    return use_pallas
+
+
+# ---------------------------------------------------------------------------
+# int8: y = x @ (w * scale[None, :])   with w int8 (K, N), scale (N,)
+# ---------------------------------------------------------------------------
+
+def _int8_matmul_fallback(x, w, scale):
+    wd = w.astype(x.dtype) * scale.astype(x.dtype)
+    return x @ wd
+
+
+def _int8_matmul_t_fallback(g, w, scale):
+    wd = w.astype(g.dtype) * scale.astype(g.dtype)
+    return g @ wd.T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def int8_matmul(flags, x, w, scale):
+    """x (M, K) float @ dequant(w (K, N) int8, scale (N,)) → (M, N)."""
+    if _use_pallas(flags):
+        from . import pallas_matmul as PM
+
+        return PM.int8_matmul_pallas(x, w, scale)
+    return _int8_matmul_fallback(x, w, scale)
+
+
+def _int8_matmul_fwd(flags, x, w, scale):
+    return int8_matmul(flags, x, w, scale), (x, w, scale)
+
+
+def _int8_matmul_bwd(flags, res, g):
+    x, w, scale = res
+    if _use_pallas(flags):
+        from . import pallas_matmul as PM
+
+        gx = PM.int8_matmul_t_pallas(g, w, scale)
+    else:
+        gx = _int8_matmul_t_fallback(g, w, scale)
+    return gx.astype(x.dtype), _float0_zeros(w), jnp.zeros_like(scale)
+
+
+int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+# ---------------------------------------------------------------------------
+# int4g32: y = x @ unpack(packed (K//2, N), scale (G, N))
+# ---------------------------------------------------------------------------
+
+def _int4_matmul_fallback(x, packed, scale):
+    wd = Q.unpack_int4_tpu(packed, scale).astype(x.dtype)
+    return x @ wd
+
+
+def _int4_matmul_t_fallback(g, packed, scale):
+    wd = Q.unpack_int4_tpu(packed, scale).astype(g.dtype)
+    return g @ wd.T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def int4_matmul(flags, x, packed, scale):
+    """x (M, K) float @ dequant(packed (K//2, N) uint8 tpu-order, scale (G, N))."""
+    if _use_pallas(flags):
+        from . import pallas_matmul as PM
+
+        return PM.int4_matmul_pallas(x, packed, scale)
+    return _int4_matmul_fallback(x, packed, scale)
+
+
+def _int4_matmul_fwd(flags, x, packed, scale):
+    return int4_matmul(flags, x, packed, scale), (x, packed, scale)
+
+
+def _int4_matmul_bwd(flags, res, g):
+    x, packed, scale = res
+    if _use_pallas(flags):
+        from . import pallas_matmul as PM
+
+        gx = PM.int4_matmul_t_pallas(g, packed, scale)
+    else:
+        gx = _int4_matmul_t_fallback(g, packed, scale)
+    return gx.astype(x.dtype), _float0_zeros(packed), jnp.zeros_like(scale)
+
+
+int4_matmul.defvjp(_int4_matmul_fwd, _int4_matmul_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Unified linear entry point
+# ---------------------------------------------------------------------------
+
+def quant_linear(
+    x: jax.Array,
+    params: dict,
+    quant_type: str,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+) -> jax.Array:
+    """Apply a (possibly quantized) linear layer to ``x (..., K)``.
+
+    ``params`` layouts (see ops/quant.py):
+      none:    {"weight": (K, N) float, "bias"?}
+      int8:    {"weight": (K, N) int8, "weight_scale": (N,), "bias"?}
+      int4g32: {"weight": (K//2, N) uint8 tpu-order, "weight_scale": (G, N), "bias"?}
+
+    Dense weights are cast to the activation dtype at call time, matching the
+    reference's master-weight behavior (model.py:76-82).
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    flags = (rt.pallas_enabled(), rt.decode_m_threshold)
+
+    if quant_type == "none":
+        y = x2 @ params["weight"].astype(x.dtype)
+    elif quant_type == "int8":
+        y = int8_matmul(flags, x2, params["weight"], params["weight_scale"])
+    elif quant_type == "int4g32":
+        y = int4_matmul(flags, x2, params["weight"], params["weight_scale"])
+    else:
+        raise NotImplementedError(f"quant_type {quant_type!r}")
+
+    bias = params.get("bias")
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.reshape(*lead, y.shape[-1])
+
+
+def quant_embedding_lookup(
+    params: dict, ids: jax.Array, quant_type: str, dtype=jnp.float32
+) -> jax.Array:
+    """Embedding lookup across quant types (int4: per-token nibble unpack,
+    int4/qlinear.py:122-130)."""
+    if quant_type == "none":
+        return params["weight"][ids].astype(dtype)
+    if quant_type == "int8":
+        return Q.embedding_lookup_int8(params, ids, dtype)
+    if quant_type == "int4g32":
+        return Q.embedding_lookup_int4(params, ids, dtype)
+    raise NotImplementedError(f"quant_type {quant_type!r}")

@@ -1,0 +1,322 @@
+"""Fused dequant+matmul Pallas TPU kernels for int8 / int4g32 weights.
+
+TPU-native re-creation of the reference's four Triton kernels
+(/root/reference/chatglm_q/int8/triton_ops.py:24-245 and
+int4/triton_ops.py:26-264): weight tiles are streamed HBM→VMEM in their
+packed integer form and dequantized *in-register* on the way into the MXU,
+so the HBM traffic — the decode-time bottleneck — is 1 byte (int8) or
+0.5 byte (int4) per weight instead of 2 (bf16).
+
+Key TPU-specific design points (vs the Triton originals):
+
+* **int4 unpack is a Mosaic ``bitcast``**: the in-memory packing stores
+  two's-complement nibbles with K-adjacent pairs per byte, chosen so that
+  ``pltpu.bitcast(packed_u8 (K/2, N) → int4)`` yields the (K, N) int4 weight
+  directly — the hardware's native sub-byte layout does the "unpack"
+  (verified: byte row i → int4 rows 2i (low nibble), 2i+1 (high)).  The
+  Triton kernel's shift/mask arithmetic (int4/triton_ops.py:65-73)
+  disappears entirely.
+* **int8 scale is applied post-accumulation**: the per-out-channel scale
+  (N,) commutes with the K-reduction, so the kernel converts int8→bf16 for
+  the MXU and multiplies the f32 accumulator by the scale once per output
+  tile — cheaper than scaling every weight element (the Triton kernel
+  scales in-register per element, int8/triton_ops.py:70-71).
+* **int4 group scales cannot commute** (they vary along K), so they are
+  applied to the dequantized weight tile via a (groups, 32, N)-shaped
+  broadcast before the dot — the TPU analog of the Triton kernel's
+  scale-pointer advance per GROUP_K (int4/triton_ops.py:78-79).
+* Grid is (M tiles, N tiles, K steps) with the K reduction innermost and a
+  float32 VMEM accumulator — the Pallas-idiomatic replacement for Triton's
+  program-id swizzle + SPLIT_K atomics (int8/triton_ops.py:44-49, :81-84).
+
+Transposed variants compute ``grad_x = g @ dequant(w).T`` by contracting the
+N dimension with ``dot_general`` on the same packed weights — no transposed
+weight copy is needed (the reference stores a second layout for its
+transposed kernels, int4/triton_ops.py:150-210).
+
+On non-TPU backends kernels run in interpreter mode (tests); the int4
+bitcast is replaced by an equivalent arithmetic unpack there.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _largest_divisor(dim: int, align: int, cap: int) -> int | None:
+    """Largest d ≤ cap with dim % d == 0 and d % align == 0."""
+    best = None
+    d = align
+    while d <= min(dim, cap):
+        if dim % d == 0:
+            best = d
+        d += align
+    return best
+
+
+def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
+    m = x.shape[0]
+    pad = (-m) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x
+
+
+def _block_m(m: int) -> int:
+    if m <= 8:
+        return 8
+    if m <= 256:
+        return ((m + 7) // 8) * 8
+    return 256
+
+
+def _unpack_tile_int4(p_tile: jax.Array, interpret: bool) -> jax.Array:
+    """(bk/2, bn) uint8 two's-complement nibble pairs → (bk, bn) int4/int8.
+
+    On TPU this is a single Mosaic bitcast; in interpreter mode an
+    arithmetic equivalent (also the definition of the layout).
+    """
+    if not interpret:
+        return pltpu.bitcast(p_tile, jnp.int4)
+    k2, bn = p_tile.shape
+    lo = (jnp.bitwise_xor(p_tile & 0xF, 8).astype(jnp.int8) - 8)
+    hi = (p_tile >> 4).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=1).reshape(2 * k2, bn)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernels
+# ---------------------------------------------------------------------------
+
+def _int8_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_ref[...].astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = _unpack_tile_int4(p_ref[...], interpret)          # (bk, bn) int4
+    bk, bn = q.shape
+    gb = bk // 32
+    w = q.astype(x_ref.dtype)
+    s = s_ref[...].astype(x_ref.dtype)                    # (gb, bn)
+    w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
+    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=512, interpret=None):
+    """x (M, K) float @ (w (K, N) int8 ⊙ scale (N,)) → (M, N)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2, (K, K2)
+    bk = _largest_divisor(K, 256, bk_cap) or _largest_divisor(K, 32, bk_cap)
+    bn = _largest_divisor(N, 128, bn_cap)
+    if bk is None or bn is None:
+        return x @ (w.astype(x.dtype) * scale.astype(x.dtype))
+    bm = _block_m(M)
+    xp = _pad_rows(x, bm)
+    Mp = xp.shape[0]
+
+    out = pl.pallas_call(
+        _int8_fwd_kernel,
+        grid=(Mp // bm, N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, w, scale.reshape(1, N))
+    return out[:M]
+
+
+def int4_matmul_pallas(x, packed, scale, *, bk_cap=4096, bn_cap=512, interpret=None):
+    """x (M, K) @ dequant(packed (K/2, N) u8 nibble-pairs, scale (K/32, N))."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K = x.shape
+    K2, N = packed.shape
+    G = scale.shape[0]
+    assert K == 2 * K2 and K == 32 * G, (K, K2, G)
+    bk = _largest_divisor(K, 256, bk_cap) or _largest_divisor(K, 64, bk_cap)
+    bn = _largest_divisor(N, 128, bn_cap)
+    if bk is None or bn is None:
+        from .quant import unpack_int4_tpu
+
+        return x @ unpack_int4_tpu(packed, scale).astype(x.dtype)
+    bm = _block_m(M)
+    xp = _pad_rows(x, bm)
+    Mp = xp.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_int4_fwd_kernel, interpret=interpret),
+        grid=(Mp // bm, N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 32, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, packed, scale)
+    return out[:M]
+
+
+# ---------------------------------------------------------------------------
+# Transposed kernels (grad_x = g @ dequant(w).T), contraction over N
+# ---------------------------------------------------------------------------
+
+_CONTRACT_N = (((1,), (1,)), ((), ()))  # contract last dims of (bm,bn)·(bk,bn)
+
+
+def _int8_t_kernel(g_ref, w_ref, s_ref, o_ref, acc_ref):
+    n = pl.program_id(2)
+
+    @pl.when(n == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    gs = g_ref[...] * s_ref[...].astype(g_ref.dtype)  # fold per-N scale into g
+    acc_ref[...] += jax.lax.dot_general(
+        gs, w_ref[...].astype(g_ref.dtype), _CONTRACT_N,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(n == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _int4_t_kernel(g_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret):
+    n = pl.program_id(2)
+
+    @pl.when(n == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = _unpack_tile_int4(p_ref[...], interpret)
+    bk, bn = q.shape
+    gb = bk // 32
+    w = q.astype(g_ref.dtype)
+    s = s_ref[...].astype(g_ref.dtype)
+    w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
+    acc_ref[...] += jax.lax.dot_general(
+        g_ref[...], w, _CONTRACT_N, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(n == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def int8_matmul_t_pallas(g, w, scale, *, bk_cap=512, bn_cap=2048, interpret=None):
+    """g (M, N) @ (w (K, N) int8 ⊙ scale (N,)).T → (M, K)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, N = g.shape
+    K, N2 = w.shape
+    assert N == N2
+    bn = _largest_divisor(N, 256, bn_cap) or _largest_divisor(N, 128, bn_cap)
+    bk = _largest_divisor(K, 128, bk_cap)
+    if bk is None or bn is None:
+        return g @ (w.astype(g.dtype) * scale.astype(g.dtype)).T
+    bm = _block_m(M)
+    gp = _pad_rows(g, bm)
+    Mp = gp.shape[0]
+
+    out = pl.pallas_call(
+        _int8_t_kernel,
+        grid=(Mp // bm, K // bk, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda m, k, n: (m, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, k, n: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, k, n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda m, k, n: (m, k), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), g.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(gp, w, scale.reshape(1, N))
+    return out[:M]
+
+
+def int4_matmul_t_pallas(g, packed, scale, *, bk_cap=512, bn_cap=2048, interpret=None):
+    """g (M, N) @ dequant(packed, scale).T → (M, K)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, N = g.shape
+    K2, N2 = packed.shape
+    K = 2 * K2
+    assert N == N2
+    bn = _largest_divisor(N, 256, bn_cap) or _largest_divisor(N, 128, bn_cap)
+    bk = _largest_divisor(K, 128, bk_cap) or _largest_divisor(K, 64, bk_cap)
+    if bk is None or bn is None:
+        from .quant import unpack_int4_tpu
+
+        return g @ unpack_int4_tpu(packed, scale).astype(g.dtype).T
+    bm = _block_m(M)
+    gp = _pad_rows(g, bm)
+    Mp = gp.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_int4_t_kernel, interpret=interpret),
+        grid=(Mp // bm, K // bk, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda m, k, n: (m, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda m, k, n: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 32, bn), lambda m, k, n: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda m, k, n: (m, k), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), g.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(gp, packed, scale)
+    return out[:M]

@@ -1,0 +1,232 @@
+"""Quantized weight representations: RTN quantizers, bit-packing, oracles.
+
+Numerics re-create the reference exactly:
+  * int8 per-out-channel symmetric RTN — /root/reference/chatglm_q/int8/quantizer.py:12-19
+  * int4 group-32 symmetric RTN with +8 offset — int4/quantizer.py:13-29
+  * int4 nibble unpack oracle — int4/qlinear.py:21-33
+
+Layouts
+-------
+All linear weights here are stored K-major, i.e. ``(in_features K, out_features
+N)`` — the natural layout for ``x @ w`` on the MXU.  (The reference stores int8
+weights ``(N, K)`` and transposes per call, int8/qlinear.py:90; our loader
+transposes once at load time.)
+
+int8:    ``weight`` int8 ``(K, N)``;   ``weight_scale`` ``(N,)``.
+int4g32: ``weight`` uint8 ``(K//2, N)`` packed two nibbles per byte;
+         ``weight_scale`` ``(G=K//32, N)``.
+
+Two nibble orders exist for int4:
+
+* **reference order** (on-disk, int4/quantizer.py:28): byte row ``r`` packs
+  ``k=2r`` (low nibble) and ``k=2r+1`` (high nibble) — K-adjacent pairs.
+* **tpu order** (in-memory): same K-adjacent pairing, but nibbles hold the
+  **two's-complement** value ``q & 0xF`` instead of the offset value
+  ``q + 8``.  This is exactly the layout of a packed ``int4`` array on TPU,
+  so the Pallas kernel unpacks a tile with a single Mosaic
+  ``bitcast(uint8 (K/2, N) → int4 (K, N))`` — byte row ``i`` becomes int4
+  rows ``2i`` (low nibble) and ``2i+1`` (high nibble) — and the shift/mask
+  arithmetic of the reference's Triton kernel vanishes.
+
+The two orders differ only by an XOR with ``0x88`` per byte
+(``(q+8) mod 16 == (q & 0xF) ^ 0x8``), so reference↔tpu repacking is a
+single vectorized involution.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MAX_Q_INT8 = 127
+MAX_Q_INT4 = 7
+GROUP_K = 32  # int4 group size along K
+
+
+# ---------------------------------------------------------------------------
+# RTN quantizers (jnp; usable under jit)
+# ---------------------------------------------------------------------------
+
+def rtn_quantize_int8(w_kn: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-out-channel int8 RTN over a (K, N) weight.
+
+    Returns (q (K, N) int8, scale (N,) f32).  Matches int8/quantizer.py:12-19
+    applied to the (N, K) transpose.
+    """
+    w = w_kn.astype(jnp.float32)
+    w_max = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.clip(w_max / MAX_Q_INT8, min=1e-10)
+    q = jnp.clip(jnp.round(w / scale), -MAX_Q_INT8, MAX_Q_INT8).astype(jnp.int8)
+    return q, scale
+
+
+def rtn_quantize_int4(
+    w_kn: jax.Array, group_k: int = GROUP_K
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-(group-of-K × out-channel) int4 RTN over a (K, N) weight.
+
+    Returns (q (K, N) int8 in [-7, 7], scale (G, N) f32).
+    Matches int4/quantizer.py:13-24 before packing.
+    """
+    K, N = w_kn.shape
+    assert K % group_k == 0, f"{K=} {group_k=}"
+    G = K // group_k
+    w = w_kn.astype(jnp.float32).reshape(G, group_k, N)
+    w_max = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+    scale = jnp.clip(w_max / MAX_Q_INT4, min=1e-10)
+    q = jnp.clip(jnp.round(w / scale), -MAX_Q_INT4, MAX_Q_INT4).astype(jnp.int8)
+    return q.reshape(K, N), scale.reshape(G, N)
+
+
+def quantize_with_scale_int8(w_kn: jax.Array, scale_n: jax.Array) -> jax.Array:
+    """(K, N) weight → int8 grid with a fixed (N,) scale (int8/quantizer.py:29-30)."""
+    q = jnp.round(w_kn.astype(jnp.float32) / scale_n.astype(jnp.float32))
+    return jnp.clip(q, -MAX_Q_INT8, MAX_Q_INT8).astype(jnp.int8)
+
+
+def quantize_with_scale_int4(w_kn: jax.Array, scale_gn: jax.Array) -> jax.Array:
+    """(K, N) weight → int4 grid values in [-7, 7] with fixed (G, N) scales
+    (int4/quantizer.py:39-48 before packing)."""
+    K, N = w_kn.shape
+    G = scale_gn.shape[0]
+    assert K % G == 0
+    w = w_kn.astype(jnp.float32).reshape(G, K // G, N)
+    q = jnp.round(w / scale_gn.astype(jnp.float32)[:, None, :])
+    return jnp.clip(q, -MAX_Q_INT4, MAX_Q_INT4).astype(jnp.int8).reshape(K, N)
+
+
+# ---------------------------------------------------------------------------
+# int4 nibble packing — reference order and tpu order
+# ---------------------------------------------------------------------------
+
+def pack_int4_ref(q_kn) -> jax.Array:
+    """[-7,7] int grid (K, N) → reference-order packed uint8 (K//2, N)
+    (int4/quantizer.py:25-29)."""
+    u = (q_kn.astype(jnp.int32) + 0x8).astype(jnp.uint8)
+    return (u[::2, :] & 0xF) | ((u[1::2, :] & 0xF) << 4)
+
+
+def unpack_int4_ref(packed, scale):
+    """Reference-order packed (K//2, N) + scale (G, N) → dequantized (K, N) f32.
+
+    Oracle matching int4/qlinear.py:21-33 (``unpack_int4``).
+    """
+    K2, N = packed.shape
+    K = K2 * 2
+    G = scale.shape[0]
+    p = packed.astype(jnp.int32)
+    lo = (p & 0xF) - 0x8
+    hi = ((p >> 4) & 0xF) - 0x8
+    q = jnp.stack([lo, hi], axis=1).reshape(K, N)  # interleave K-adjacent pairs
+    q = q.reshape(G, K // G, N).astype(jnp.float32) * scale.astype(jnp.float32)[:, None, :]
+    return q.reshape(K, N)
+
+
+def pack_int4_tpu(q_kn) -> jax.Array:
+    """[-7,7] int grid (K, N) → tpu-order packed uint8 (K//2, N).
+
+    Byte row ``i`` holds ``k=2i`` (low nibble) and ``k=2i+1`` (high nibble)
+    as **two's-complement** nibbles — bit-identical to a packed int4 array,
+    so the Pallas kernel unpacks a tile with a single Mosaic bitcast.
+    """
+    K, N = q_kn.shape
+    assert K % 2 == 0
+    u = (q_kn.astype(jnp.int32) & 0xF).astype(jnp.uint8)
+    return u[0::2, :] | (u[1::2, :] << 4)
+
+
+def _sign_extend_nibble(v):
+    """4-bit two's-complement value in [0, 15] → signed int in [-8, 7]."""
+    return jnp.bitwise_xor(v, 0x8) - 0x8
+
+
+def unpack_int4_tpu(packed, scale):
+    """tpu-order packed (K//2, N) + scale (G, N) → dequantized (K, N) f32.
+
+    This jnp formulation is both the CPU/fallback compute path and the test
+    oracle for the Pallas kernel (the reference uses the same dual-role
+    pattern, int4/qlinear.py:47-51).
+    """
+    K2, N = packed.shape
+    K = K2 * 2
+    G = scale.shape[0]
+    p = packed.astype(jnp.int32)
+    lo = _sign_extend_nibble(p & 0xF)
+    hi = _sign_extend_nibble((p >> 4) & 0xF)
+    q = jnp.stack([lo, hi], axis=1).reshape(K, N)  # K-adjacent interleave
+    q = q.reshape(G, K // G, N).astype(jnp.float32) * scale.astype(jnp.float32)[:, None, :]
+    return q.reshape(K, N)
+
+
+def repack_ref_to_tpu(packed_ref: np.ndarray) -> np.ndarray:
+    """Reference-order packed uint8 → tpu order (numpy, load time).
+
+    The reference's offset-8 nibble and the two's-complement nibble differ
+    by XOR 0x8, so the whole-byte transform is ``^ 0x88`` (an involution).
+    """
+    return packed_ref ^ np.uint8(0x88)
+
+
+def repack_tpu_to_ref(packed_tpu: np.ndarray) -> np.ndarray:
+    """tpu-order packed uint8 → reference order (numpy, save time)."""
+    return packed_tpu ^ np.uint8(0x88)
+
+
+# ---------------------------------------------------------------------------
+# Whole-layer quantize helpers (produce in-memory param dicts)
+# ---------------------------------------------------------------------------
+
+def quantize_linear_int8(w_kn, bias=None) -> dict:
+    q, scale = rtn_quantize_int8(w_kn)
+    p = {"weight": q, "weight_scale": scale}
+    if bias is not None:
+        p["bias"] = bias
+    return p
+
+
+def quantize_linear_int4(w_kn, bias=None) -> dict:
+    q, scale = rtn_quantize_int4(w_kn)
+    p = {"weight": pack_int4_tpu(q), "weight_scale": scale}
+    if bias is not None:
+        p["bias"] = bias
+    return p
+
+
+def quantize_embedding_int8(w_vh) -> dict:
+    """Embedding table (V, H) → int8 with per-embedding-dim scale.
+
+    Matches int8/quantizer.py:45-52: quantize the transpose so the scale is
+    per H dim; stored back as (V, H) int8 + (H,) scale.
+    """
+    # rtn_quantize_int8 reduces over axis 0; passing (V, H) gives a max over
+    # V per embedding dim, i.e. per-H scales.
+    q, scale = rtn_quantize_int8(w_vh)
+    return {"weight": q, "weight_scale": scale}
+
+
+def quantize_embedding_int4(w_vh) -> dict:
+    """Embedding table (V, H) → int4 packed along V in *reference* nibble
+    order with (V//32, H) scales (int4/quantizer.py:68-75).
+
+    Embedding lookup is a gather (no matmul kernel), so the reference layout
+    is kept in memory; adjacent token ids share a byte.
+    """
+    q, scale = rtn_quantize_int4(w_vh)  # groups along V
+    return {"weight": pack_int4_ref(q), "weight_scale": scale}
+
+
+def embedding_lookup_int8(params: dict, ids, dtype=jnp.float32):
+    w = params["weight"].astype(dtype) * params["weight_scale"].astype(dtype)
+    return w[ids]
+
+
+def embedding_lookup_int4(params: dict, ids, dtype=jnp.float32):
+    """Per-token nibble unpack at lookup, matching int4/qlinear.py:122-130."""
+    packed = params["weight"]
+    scale = params["weight_scale"]
+    group_idx = ids // GROUP_K
+    byte_idx = ids // 2
+    shifts = (ids % 2) * 4
+    bytes_ = packed[byte_idx].astype(jnp.int32)
+    nib = ((bytes_ >> shifts[..., None]) & 0xF) - 0x8
+    return nib.astype(dtype) * scale[group_idx].astype(dtype)

@@ -1,0 +1,106 @@
+"""Pallas dequant-matmul kernels vs the jnp oracle (interpret mode on CPU).
+
+Mirrors the reference test strategy (tests/test_triton_ops.py:9-47,
+test_triton_ops_int4.py:11-55): kernel vs dense-dequant matmul at tight
+tolerance, forward and transposed(grad) variants, plus the custom-vjp
+wrapper's backward.  On a real TPU the same tests run compiled (see
+tests/test_pallas_tpu.py runner).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatglm_q_tpu.ops import quant as Q
+from chatglm_q_tpu.ops import pallas_matmul as PM
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def rand(shape, seed=0, scale=1.0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32) * scale
+
+
+def make_int8(k, n, seed=0):
+    w = rand((k, n), seed)
+    return Q.rtn_quantize_int8(w)
+
+
+def make_int4(k, n, seed=0):
+    w = rand((k, n), seed)
+    q, s = Q.rtn_quantize_int4(w)
+    return Q.pack_int4_tpu(q), s
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (100, 256, 128)])
+def test_int8_fwd(m, k, n):
+    x = rand((m, k), 1)
+    w, s = make_int8(k, n, 2)
+    out = PM.int8_matmul_pallas(x, w, s, interpret=INTERPRET)
+    ref = x @ (w.astype(jnp.float32) * s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (100, 256, 128)])
+def test_int4_fwd(m, k, n):
+    x = rand((m, k), 3)
+    p, s = make_int4(k, n, 4)
+    out = PM.int4_matmul_pallas(x, p, s, interpret=INTERPRET)
+    ref = x @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("m,k,n", [(4, 256, 512), (9, 384, 256)])
+def test_int8_transposed(m, k, n):
+    g = rand((m, n), 5)
+    w, s = make_int8(k, n, 6)
+    out = PM.int8_matmul_t_pallas(g, w, s, interpret=INTERPRET)
+    ref = g @ (w.astype(jnp.float32) * s).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("m,k,n", [(4, 256, 512), (9, 384, 256)])
+def test_int4_transposed(m, k, n):
+    g = rand((m, n), 7)
+    p, s = make_int4(k, n, 8)
+    out = PM.int4_matmul_t_pallas(g, p, s, interpret=INTERPRET)
+    ref = g @ Q.unpack_int4_tpu(p, s).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_custom_vjp_backward_int8():
+    """Autograd-wrapper grad vs dense-matmul grad (test_triton_ops.py:31-47)."""
+    from chatglm_q_tpu.ops.linear import int8_matmul
+
+    x = rand((8, 256), 9)
+    w, s = make_int8(256, 256, 10)
+    flags = (True, 128)  # use pallas (interpret picks up CPU automatically)
+
+    gx = jax.grad(lambda x: int8_matmul(flags, x, w, s).sum())(x)
+    deq = w.astype(jnp.float32) * s
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(jnp.ones((8, 256)) @ deq.T), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_custom_vjp_backward_int4():
+    from chatglm_q_tpu.ops.linear import int4_matmul
+
+    x = rand((8, 256), 11)
+    p, s = make_int4(256, 256, 12)
+    flags = (True, 128)
+
+    gx = jax.grad(lambda x: int4_matmul(flags, x, p, s).sum())(x)
+    deq = Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(jnp.ones((8, 256)) @ deq.T), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fallback_for_odd_shapes():
+    """Shapes with no aligned block divisor fall back to the jnp path."""
+    x = rand((3, 96), 13)
+    w, s = make_int8(96, 50, 14)
+    out = PM.int8_matmul_pallas(x, w, s, interpret=INTERPRET)
+    ref = x @ (w.astype(jnp.float32) * s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
