@@ -1,0 +1,156 @@
+"""Headline benchmark: ChatGLM2-6B int4g32 single-chip decode throughput.
+
+Measures steady-state autoregressive decode tokens/s on the flagship config
+(BASELINE.json config 3: ChatGLM2-6B int4g32, batch-1 decode) with random
+weights (identical compute/memory traffic to real ones; no network egress
+for real checkpoints in this environment).
+
+Protocol: in-graph ``lax.scan`` decode (models/chatglm2.py multi_step_decode)
+so no host round trip is paid per token; per-token time from the slope
+between two scan lengths with scalar forcing (utils/timing.py, required on
+this tunneled TPU).  ``vs_baseline`` is the fraction of the
+HBM-bandwidth speed-of-light for this chip (v5e ≈ 819 GB/s: every decoded
+token must stream all weight bytes once), since the reference publishes no
+tokens/s (BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+import json
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+from chatglm_q_tpu.models import chatglm2 as M
+from chatglm_q_tpu.utils.timing import force, slope_time
+
+HBM_GBPS = 819.0  # v5e
+
+
+def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: str):
+    """Random packed weights directly on device (no float quantize pass) —
+    same shapes/dtypes/traffic as a real checkpoint."""
+    H, I = config.hidden_size, config.inner_hidden_size
+    V, L = config.vocab_size, config.num_layers
+    ks = iter(jax.random.split(rng, 64))
+
+    def lin(k, n, bias):
+        if quant_type == "int4g32":
+            p = {
+                # random.bits: native uint8 generation, no int32 transients
+                "weight": jax.random.bits(next(ks), (L, k // 2, n), jnp.uint8),
+                "weight_scale": jnp.full((L, k // 32, n), 0.01, jnp.float32),
+            }
+        elif quant_type == "int8":
+            p = {
+                "weight": jax.random.bits(next(ks), (L, k, n), jnp.uint8).astype(jnp.int8),
+                "weight_scale": jnp.full((L, n), 0.01, jnp.float32),
+            }
+        else:
+            p = {"weight": jax.random.normal(next(ks), (L, k, n), jnp.bfloat16) * 0.02}
+        if bias:
+            p["bias"] = jnp.zeros((L, n), jnp.bfloat16)
+        return p
+
+    def lin1(k, n):
+        if quant_type == "int4g32":
+            return {
+                "weight": jax.random.bits(next(ks), (k // 2, n), jnp.uint8),
+                "weight_scale": jnp.full((k // 32, n), 0.01, jnp.float32),
+            }
+        if quant_type == "int8":
+            return {
+                "weight": jax.random.bits(next(ks), (k, n), jnp.uint8).astype(jnp.int8),
+                "weight_scale": jnp.full((n,), 0.01, jnp.float32),
+            }
+        return {"weight": jax.random.normal(next(ks), (k, n), jnp.bfloat16) * 0.02}
+
+    if quant_type == "int4g32":
+        emb = {
+            "weight": jax.random.bits(next(ks), (V // 2, H), jnp.uint8),
+            "weight_scale": jnp.full((V // 32, H), 0.01, jnp.float32),
+        }
+    elif quant_type == "int8":
+        emb = {
+            "weight": jax.random.bits(next(ks), (V, H), jnp.uint8).astype(jnp.int8),
+            "weight_scale": jnp.full((H,), 0.01, jnp.float32),
+        }
+    else:
+        emb = {"weight": jax.random.normal(next(ks), (V, H), jnp.bfloat16) * 0.02}
+
+    return {
+        "word_embedding": emb,
+        "layers": {
+            "attn_ln": {"weight": jnp.ones((L, H), jnp.bfloat16)},
+            "ffn_ln": {"weight": jnp.ones((L, H), jnp.bfloat16)},
+            "q_proj": lin(H, config.q_size, True),
+            "kv_proj": lin(H, 2 * config.kv_size, True),
+            "o_proj": lin(config.q_size, H, False),
+            "w_in_h": lin(H, I, False),
+            "w_in_gate": lin(H, I, False),
+            "w_out": lin(I, H, False),
+        },
+        "final_ln": {"weight": jnp.ones((H,), jnp.bfloat16)},
+        "lm_head": lin1(H, V),
+    }
+
+
+def weight_bytes_per_token(params) -> int:
+    """HBM bytes every decode step must stream: all layer + lm_head weights."""
+    total = 0
+    for sub in (params["layers"], params["lm_head"], params["final_ln"]):
+        total += sum(x.nbytes for x in jax.tree.leaves(sub))
+    return total
+
+
+def main():
+    quant_type = "int4g32"
+    batch = 1
+    prefill_len = 128
+    cache_len = 1024
+
+    config = ChatGLM2Config()  # full 6B hyperparams
+    rt = TpuRuntimeConfig()
+    params = random_quantized_params(jax.random.PRNGKey(0), config, quant_type)
+    wbytes = weight_bytes_per_token(params)
+
+    cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, prefill_len), 0, 60000)
+    lengths = jnp.full((batch,), prefill_len, jnp.int32)
+
+    prefill = jax.jit(
+        lambda p, ids, l, c: M.prefill(p, config, ids, l, c, quant_type, jnp.bfloat16, rt)
+    )
+    logits, cache0 = prefill(params, prompt, lengths, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n", donate_argnums=(2,))
+    def decode_n(p, first, cache, n):
+        toks, cache = M.multi_step_decode(
+            p, config, first, cache, n, None, quant_type, jnp.bfloat16, rt
+        )
+        return toks.sum()  # scalar to force
+
+    import copy as _copy
+    def run_n(n):
+        c = jax.tree.map(lambda x: x.copy(), cache0)
+        return force(decode_n(params, first, c, n))
+
+    per_tok = slope_time(run_n, 16, 80)
+    toks_per_s = 1.0 / per_tok
+    sol = HBM_GBPS * 1e9 / wbytes
+
+    print(json.dumps({
+        "metric": "ChatGLM2-6B int4g32 decode tokens/s/chip (batch=1, in-graph loop)",
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_per_s / sol, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

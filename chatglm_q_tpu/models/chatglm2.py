@@ -150,12 +150,16 @@ def block_forward(
     rt: TpuRuntimeConfig = _DEFAULT_RT,
     kv_write=None,             # None (parity: keys = this block) or
                                # (cache_k (B,Smax,G,D), cache_v, start_idx (B,))
+    collect_taps: bool = False,
 ):
     """One pre-norm transformer block (model.py:204-246).
 
     Returns (x_out, (k_full, v_full)) where k_full/v_full are the key/value
     tensors actually attended over (parity mode: the new ones; serving mode:
-    the updated cache buffers).
+    the updated cache buffers).  With ``collect_taps`` a third element is
+    returned: the activations feeding each linear — the functional
+    replacement for the reference GPTQ driver's forward hooks
+    (examples/quantize_gptq/int4g32.py:62-64).
     """
     B, S, H = x.shape
     G = config.num_multi_query_groups
@@ -186,15 +190,21 @@ def block_forward(
         k_full = jax.vmap(upd)(cache_k, k, start)
         v_full = jax.vmap(upd)(cache_v, v, start)
 
-    attn_out = _attention_scores(q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias)
-    attn_out = quant_linear(attn_out, layer_params["o_proj"], quant_type, rt)
+    attn_in_tap = _attention_scores(
+        q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias
+    )
+    attn_out = quant_linear(attn_in_tap, layer_params["o_proj"], quant_type, rt)
     x = x + attn_out
 
-    h = rms_norm(x, layer_params["ffn_ln"]["weight"], config.layernorm_epsilon)
-    gate_in = quant_linear(h, layer_params["w_in_h"], quant_type, rt)
-    gate = quant_linear(h, layer_params["w_in_gate"], quant_type, rt)
-    ffn = quant_linear(jax.nn.silu(gate_in) * gate, layer_params["w_out"], quant_type, rt)
+    h2 = rms_norm(x, layer_params["ffn_ln"]["weight"], config.layernorm_epsilon)
+    gate_in = quant_linear(h2, layer_params["w_in_h"], quant_type, rt)
+    gate = quant_linear(h2, layer_params["w_in_gate"], quant_type, rt)
+    act = jax.nn.silu(gate_in) * gate
+    ffn = quant_linear(act, layer_params["w_out"], quant_type, rt)
     x = x + ffn
+    if collect_taps:
+        taps = {"qkv_in": h, "o_in": attn_in_tap, "w_in_in": h2, "w_out_in": act}
+        return x, (k_full, v_full), taps
     return x, (k_full, v_full)
 
 
@@ -379,6 +389,47 @@ def decode_step(
 
     new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + 1)
     return logits, new_cache
+
+
+def multi_step_decode(
+    params: dict,
+    config: ChatGLM2Config,
+    first_ids: jax.Array,   # (B,) first tokens to feed
+    cache: KVCache,
+    num_steps: int,
+    rng: Optional[jax.Array] = None,  # None = greedy
+    quant_type: str = "none",
+    dtype=jnp.bfloat16,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+    top_k: int = 100,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+):
+    """Run ``num_steps`` decode steps entirely on-device under one jit
+    (``lax.scan``), sampling each next token in-graph.
+
+    This is the benchmarking / engine hot loop: it removes every host↔device
+    round trip the reference's Python while-loop pays per token
+    (decoder.py:76-97, ``.item()`` sync at :85).  Returns (tokens (B, n),
+    cache)."""
+    from ..ops.sampling import top_p_sampling, greedy_sampling
+
+    def step(carry, rng_step):
+        ids, cache = carry
+        logits, cache = decode_step(params, config, ids, cache, quant_type, dtype, rt)
+        if rng is None:
+            nxt = greedy_sampling(logits)
+        else:
+            nxt = top_p_sampling(rng_step, logits, top_k, top_p, temperature)
+        return (nxt, cache), nxt
+
+    rngs = (
+        jax.random.split(rng, num_steps)
+        if rng is not None
+        else jnp.zeros((num_steps, 2), jnp.uint32)
+    )
+    (last, cache), toks = jax.lax.scan(step, (first_ids, cache), rngs)
+    return toks.T, cache
 
 
 # ---------------------------------------------------------------------------

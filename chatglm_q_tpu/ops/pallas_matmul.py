@@ -167,6 +167,24 @@ def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=512, interpret=None):
     return out[:M]
 
 
+def _pick_int4_bk(K: int, bk_cap: int):
+    """K-block size for int4 kernels.
+
+    TPU block shapes need their sublane dim to be a multiple of 8 or equal
+    to the full array dim; the scale block has bk/32 sublanes, so blocked
+    mode needs bk % 256 == 0.  When K admits no such divisor (e.g. the
+    ChatGLM2 inner dim 13696 = 128·107), fall back to a single whole-K step
+    (bk == K): every block is then "equal to the respective dimension",
+    which is always legal.
+    """
+    bk = _largest_divisor(K, 256, bk_cap)
+    if bk is not None:
+        return bk
+    if K % 128 == 0 and (K // 2) % 8 == 0 and K % 32 == 0:
+        return K  # whole-K mode
+    return None
+
+
 def int4_matmul_pallas(x, packed, scale, *, bk_cap=4096, bn_cap=512, interpret=None):
     """x (M, K) @ dequant(packed (K/2, N) u8 nibble-pairs, scale (K/32, N))."""
     if interpret is None:
@@ -175,7 +193,10 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=4096, bn_cap=512, interpret=N
     K2, N = packed.shape
     G = scale.shape[0]
     assert K == 2 * K2 and K == 32 * G, (K, K2, G)
-    bk = _largest_divisor(K, 256, bk_cap) or _largest_divisor(K, 64, bk_cap)
+    bk = _pick_int4_bk(K, bk_cap)
+    if bk == K:
+        # bound the dequantized bf16 intermediate (K × bn × 2B) to ~8 MB
+        bn_cap = min(bn_cap, max(128, (8 << 20) // (2 * K) // 128 * 128))
     bn = _largest_divisor(N, 128, bn_cap)
     if bk is None or bn is None:
         from .quant import unpack_int4_tpu
@@ -294,7 +315,7 @@ def int4_matmul_t_pallas(g, packed, scale, *, bk_cap=512, bn_cap=2048, interpret
     K = 2 * K2
     assert N == N2
     bn = _largest_divisor(N, 256, bn_cap) or _largest_divisor(N, 128, bn_cap)
-    bk = _largest_divisor(K, 128, bk_cap) or _largest_divisor(K, 64, bk_cap)
+    bk = _pick_int4_bk(K, bk_cap)
     if bk is None or bn is None:
         from .quant import unpack_int4_tpu
 

@@ -1,0 +1,2 @@
+from .decoder import GLMDecoder
+from .chat import chat_template, process_response

@@ -1,0 +1,163 @@
+"""Streaming autoregressive decoder — the reference ``ChatGLMDecoder``
+(/root/reference/chatglm_q/decoder.py:30-108) rebuilt around jitted
+prefill/decode-step functions and a preallocated KV cache.
+
+Differences from the reference driven by TPU/jit semantics:
+  * prompt lengths are padded to power-of-two buckets so prefill compiles a
+    bounded set of programs instead of one per prompt length;
+  * the KV cache is a fixed-size buffer with per-row lengths (no per-step
+    concat realloc, decoder loop hot spot model.py:151-155);
+  * sampling runs on-device (`ops/sampling.py`) with an explicit PRNG key.
+
+`time_log` reproduces the reference's report format (decoder.py:99-106).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GLMLoadConfig, TpuRuntimeConfig
+from ..models import chatglm2 as M
+from ..ops.sampling import top_p_sampling, greedy_sampling
+from .chat import process_response
+
+_DEFAULT_RT = TpuRuntimeConfig()
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class GLMDecoder:
+    def __init__(
+        self,
+        config: GLMLoadConfig,
+        params: dict,
+        tokenizer,
+        eos_token: str = "</s>",
+        max_sequence_length: Optional[int] = None,
+        time_log: bool = False,
+        rt: TpuRuntimeConfig = _DEFAULT_RT,
+        dtype=None,
+    ):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.eos_token_id = tokenizer[eos_token]
+        self.max_sequence_length = max_sequence_length or config.model_config.max_sequence_length
+        self.time_log = time_log
+        self.rt = rt
+        self.dtype = dtype or config.activation_dtype
+        qt = config.quant_type
+        mc = config.model_config
+
+        self._prefill = jax.jit(
+            lambda p, ids, lens, cache: M.prefill(p, mc, ids, lens, cache, qt, self.dtype, rt)
+        )
+        self._decode = jax.jit(
+            lambda p, ids, cache: M.decode_step(p, mc, ids, cache, qt, self.dtype, rt)
+        )
+
+    # -- persistence -------------------------------------------------------
+
+    @staticmethod
+    def from_pretrained(
+        path_or_repo_id: Union[str, Path],
+        dtype_name: Optional[str] = None,
+        cache_dir=None,
+        token=None,
+        **kwargs,
+    ) -> "GLMDecoder":
+        """Local path or HF hub repo id (decoder.py:51-58)."""
+        from ..loader import load_model_and_tokenizer
+
+        path = Path(path_or_repo_id)
+        if not path.exists() or not path.is_dir():
+            from huggingface_hub import snapshot_download
+
+            path = snapshot_download(str(path_or_repo_id), cache_dir=cache_dir, token=token)
+        config, params, tokenizer = load_model_and_tokenizer(path, dtype_name)
+        return GLMDecoder(config, params, tokenizer, **kwargs)
+
+    def save_pretrained(self, path: Union[str, Path], shard: bool = True):
+        from ..loader import save_model_and_tokenizer
+
+        save_model_and_tokenizer(path, self.config, self.params, self.tokenizer, shard=shard)
+
+    # -- generation --------------------------------------------------------
+
+    def generate(
+        self,
+        prefix_text: str,
+        max_generated_tokens: int = 400,
+        top_k: int = 100,
+        top_p: float = 0.8,
+        temperature: float = 1.0,
+        seed: Optional[int] = None,
+    ):
+        """Streaming generator: yields the re-decoded response after each
+        token (suppressing a trailing partial-UTF8 U+FFFD, decoder.py:93-95);
+        returns the final processed response."""
+        tokenizer = self.tokenizer
+        prefix_ids = tokenizer.encode(prefix_text)
+        rng = jax.random.PRNGKey(np.random.randint(1 << 30) if seed is None else seed)
+
+        bucket = _bucket(len(prefix_ids))
+        prompt = np.zeros((1, bucket), np.int32)
+        prompt[0, : len(prefix_ids)] = prefix_ids
+        cache = M.init_kv_cache(
+            self.config.model_config, 1, self.max_sequence_length, self.dtype
+        )
+
+        generated: list[int] = []
+        generate_time: list[float] = []
+        tp = jnp.float32(top_p)
+        temp = jnp.float32(temperature)
+
+        start = time.perf_counter()
+        logits, cache = self._prefill(
+            self.params, jnp.asarray(prompt), jnp.asarray([len(prefix_ids)], jnp.int32), cache
+        )
+        while (
+            len(generated) < max_generated_tokens
+            and len(generated) + len(prefix_ids) < self.max_sequence_length
+        ):
+            rng, sub = jax.random.split(rng)
+            if temperature == 0.0:
+                tok = greedy_sampling(logits)
+            else:
+                tok = top_p_sampling(sub, logits, top_k, tp, temp)
+            next_token = int(tok[0])
+            generate_time.append(time.perf_counter() - start)
+            start = time.perf_counter()
+
+            generated.append(next_token)
+            if next_token == self.eos_token_id:
+                break
+
+            response_text = process_response(tokenizer.decode(generated))
+            if response_text and response_text[-1] != "�":
+                yield response_text
+
+            logits, cache = self._decode(self.params, tok, cache)
+
+        if self.time_log and generate_time:
+            init_time, *rest_time = generate_time
+            print("Decoder:")
+            print(f"  len: {len(prefix_ids)}(prefix) + {len(generated)}(gen)")
+            print(f" init: {init_time:.6f} s")
+            print(f"  sum: {sum(generate_time):.6f} s")
+            if rest_time:
+                print(f"  gen: {len(rest_time) / sum(rest_time):.6f} tok/s")
+            print(f"  avg: {len(generate_time) / sum(generate_time):.6f} tok/s")
+
+        return process_response(tokenizer.decode(generated))

@@ -1,0 +1,68 @@
+"""Training step over (possibly quantized) models.
+
+The reference supports backprop *through* quantized layers (gradient to the
+activation only, int8/qlinear.py:42-52) so fp float parameters — norms,
+biases, dense layers — can be tuned while packed weights stay frozen.  This
+module provides that as a functional train step: partition the param tree
+into float (trainable) and integer (frozen) leaves, differentiate w.r.t.
+the float subtree only, and apply an optax update.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ChatGLM2Config, TpuRuntimeConfig
+from ..models import chatglm2 as M
+
+
+def _is_float(x) -> bool:
+    return jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+
+
+def partition_params(params):
+    """Split into (trainable float leaves, frozen int leaves); each tree has
+    None at the other's positions."""
+    trainable = jax.tree.map(lambda x: x if _is_float(x) else None, params)
+    frozen = jax.tree.map(lambda x: None if _is_float(x) else x, params)
+    return trainable, frozen
+
+
+def merge_params(trainable, frozen):
+    return jax.tree.map(
+        lambda a, b: b if a is None else a,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_train_step(
+    config: ChatGLM2Config,
+    quant_type: str,
+    optimizer: optax.GradientTransformation,
+    dtype=jnp.bfloat16,
+    rt: Optional[TpuRuntimeConfig] = None,
+) -> Callable:
+    """Returns train_step(trainable, frozen, opt_state, input_ids, labels)
+    → (trainable, opt_state, loss).  Jit/pjit-able."""
+    rt = rt or TpuRuntimeConfig()
+
+    def loss_fn(trainable, frozen, input_ids, labels):
+        params = merge_params(trainable, frozen)
+        loss, _ = M.forward(
+            params, config, input_ids, labels=labels,
+            quant_type=quant_type, dtype=dtype, rt=rt,
+        )
+        return loss
+
+    def train_step(trainable, frozen, opt_state, input_ids, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, input_ids, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    return train_step

@@ -1,0 +1,142 @@
+"""GPTQ engine parity vs the reference torch implementation (test oracle,
+imported from /root/reference — not shipped)."""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, "/root/reference")
+torch = pytest.importorskip("torch")
+
+from chatglm_q_tpu.quant import gptq as G
+from chatglm_q_tpu.ops import quant as Q
+
+
+def make_calib(n, k, seed):
+    torch.manual_seed(seed)
+    return torch.randn(n, k)
+
+
+def run_reference(kind, W, X, groupsize=32):
+    from torch import nn
+
+    if kind == "int8":
+        from chatglm_q.int8.quantizer import GPTQLinearQuantizer
+    else:
+        from chatglm_q.int4.quantizer import GPTQLinearQuantizer
+
+    n, k = W.shape
+    layer = nn.Linear(k, n, bias=False)
+    with torch.no_grad():
+        layer.weight.copy_(W)
+    gq = GPTQLinearQuantizer(layer)
+    with torch.no_grad():
+        for xb in X.split(8):
+            layer(xb)
+    gq.remove_hook()
+    if kind == "int8":
+        grid, scale, *_ = gq.quantize_weight(blocksize=32)
+    else:
+        grid, scale, *_ = gq.quantize_weight(blocksize=32, groupsize=groupsize)
+    return grid.numpy(), scale.numpy()
+
+
+def test_hessian_accumulation_matches_reference():
+    from torch import nn
+    from chatglm_q.int8.quantizer import GPTQLinearQuantizer
+
+    W = torch.randn(16, 64)
+    X = make_calib(40, 64, 0)
+    layer = nn.Linear(64, 16, bias=False)
+    with torch.no_grad():
+        layer.weight.copy_(W)
+    gq = GPTQLinearQuantizer(layer)
+    with torch.no_grad():
+        for xb in X.split(8):
+            layer(xb)
+    H_ref = gq.hessian.numpy()
+
+    H, n = G.init_hessian(64)
+    for xb in X.split(8):
+        H, n = G.accumulate_hessian(H, n, jnp.asarray(xb.numpy()))
+    np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4"])
+def test_gptq_grid_matches_reference(kind):
+    torch.manual_seed(1)
+    N, K = 24, 64
+    W = torch.randn(N, K)
+    X = make_calib(64, K, 2)
+
+    grid_ref, scale_ref = run_reference(kind, W, X)
+
+    H, n = G.init_hessian(K)
+    for xb in X.split(8):
+        H, n = G.accumulate_hessian(H, n, jnp.asarray(xb.numpy()))
+
+    if kind == "int8":
+        grid, scale, _ = G.gptq_quantize_int8(jnp.asarray(W.numpy()), H, blocksize=32)
+        np.testing.assert_allclose(np.asarray(scale), scale_ref, rtol=1e-5)
+    else:
+        grid, scale, _ = G.gptq_quantize_int4(jnp.asarray(W.numpy()), H, blocksize=32)
+        np.testing.assert_allclose(np.asarray(scale), scale_ref, rtol=1e-3, atol=1e-6)
+
+    # dequantized grids close everywhere; integer grid points nearly all
+    # identical (ulp-level scale drift in the in-sweep rescale can move a
+    # value near a rounding boundary)
+    np.testing.assert_allclose(np.asarray(grid), grid_ref, rtol=2e-2, atol=2e-3)
+    if kind == "int8":
+        q_ours = np.round(np.asarray(grid) / np.asarray(scale)[:, None])
+        q_ref = np.round(grid_ref / scale_ref[:, None])
+    else:
+        s_ours = np.repeat(np.asarray(scale), 32, axis=0).T  # (N, K)
+        s_ref = np.repeat(scale_ref, 32, axis=0).T
+        q_ours = np.round(np.asarray(grid) / s_ours)
+        q_ref = np.round(grid_ref / s_ref)
+    int_mismatch = np.mean(q_ours != q_ref)
+    assert int_mismatch < 0.02, f"{int_mismatch=}"
+
+
+def test_gptq_beats_rtn_on_correlated_inputs():
+    """GPTQ's whole point: lower output MSE than naive RTN under a real
+    input distribution (here: correlated features)."""
+    key = jax.random.PRNGKey(0)
+    N, K, S = 32, 128, 256
+    W = jax.random.normal(key, (N, K))
+    base = jax.random.normal(jax.random.PRNGKey(1), (S, K // 4))
+    mix = jax.random.normal(jax.random.PRNGKey(2), (K // 4, K))
+    X = base @ mix + 0.1 * jax.random.normal(jax.random.PRNGKey(3), (S, K))
+
+    H, n = G.init_hessian(K)
+    H, n = G.accumulate_hessian(H, n, X)
+    grid, scales, _ = G.gptq_quantize_int4(W, H)
+
+    q_rtn, s_rtn = Q.rtn_quantize_int4(W.T)
+    rtn_deq = Q.unpack_int4_tpu(Q.pack_int4_tpu(q_rtn), s_rtn).T
+
+    err_gptq = jnp.mean((X @ grid.T - X @ W.T) ** 2)
+    err_rtn = jnp.mean((X @ rtn_deq.T - X @ W.T) ** 2)
+    assert float(err_gptq) < float(err_rtn), (float(err_gptq), float(err_rtn))
+
+
+def test_gptq_param_dict_roundtrip():
+    key = jax.random.PRNGKey(5)
+    N, K = 16, 64
+    w_kn = jax.random.normal(key, (K, N))
+    X = jax.random.normal(jax.random.PRNGKey(6), (128, K))
+    H, n = G.init_hessian(K)
+    H, n = G.accumulate_hessian(H, n, X)
+
+    p4 = G.gptq_linear_params_int4(w_kn, H)
+    assert p4["weight"].shape == (K // 2, N)
+    assert p4["weight_scale"].shape == (K // 32, N)
+    deq = Q.unpack_int4_tpu(p4["weight"], p4["weight_scale"])
+    assert float(jnp.mean((deq - w_kn) ** 2)) < 0.05
+
+    p8 = G.gptq_linear_params_int8(w_kn, H)
+    assert p8["weight"].shape == (K, N)
+    deq8 = p8["weight"].astype(jnp.float32) * p8["weight_scale"]
+    assert float(jnp.mean((deq8 - w_kn) ** 2)) < 0.01

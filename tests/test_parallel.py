@@ -1,0 +1,111 @@
+"""Sharding tests on the 8-virtual-CPU-device mesh: tensor/data-parallel
+forward must be numerically identical to single-device, and the sharded
+training step must run (the SURVEY.md §4 "fake backend" strategy)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+from chatglm_q_tpu.models import chatglm2 as M
+from chatglm_q_tpu.parallel import sharding as S
+from chatglm_q_tpu.utils.train import make_train_step, partition_params, merge_params
+
+RT = TpuRuntimeConfig(use_pallas=False)
+
+CFG = ChatGLM2Config(
+    hidden_size=256, inner_hidden_size=512, head_hidden_size=32,
+    num_multi_query_groups=2, num_attention_heads=8, num_layers=2,
+    vocab_size=1024, max_sequence_length=64,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.mark.parametrize("quant_type", ["none", "int8", "int4g32"])
+def test_tp_forward_matches_single_device(quant_type):
+    params = M.init_params(jax.random.PRNGKey(0), CFG, quant_type, jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, CFG.vocab_size)
+
+    _, ref_logits = M.forward(params, CFG, ids, quant_type=quant_type, rt=RT)
+
+    mesh = S.make_mesh(2, 4)
+    sharded = S.shard_params(params, mesh, CFG, quant_type)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P(S.DATA_AXIS, None)))
+
+    fwd = jax.jit(lambda p, i: M.forward(p, CFG, i, quant_type=quant_type, rt=RT)[1])
+    with mesh:
+        out = fwd(sharded, ids_sh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_tp_decode_matches_single_device():
+    quant_type = "int4g32"
+    params = M.init_params(jax.random.PRNGKey(2), CFG, quant_type, jnp.float32)
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, CFG.vocab_size)
+    lengths = jnp.asarray([8, 8], jnp.int32)
+
+    def run(params, mesh=None):
+        cache = M.init_kv_cache(CFG, 2, 32, jnp.float32)
+        if mesh is not None:
+            cache = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                cache, S.kv_cache_pspecs(),
+            )
+        logits, cache = M.prefill(params, CFG, prompt, lengths, cache,
+                                  quant_type, jnp.float32, RT)
+        toks, _ = M.multi_step_decode(params, CFG,
+                                      jnp.argmax(logits, -1).astype(jnp.int32),
+                                      cache, 4, None, quant_type, jnp.float32, RT)
+        return np.asarray(toks)
+
+    ref_toks = run(params)
+    mesh = S.make_mesh(1, 8)
+    sharded = S.shard_params(params, mesh, CFG, quant_type)
+    with mesh:
+        tp_toks = run(sharded, mesh)
+    np.testing.assert_array_equal(ref_toks, tp_toks)
+
+
+def test_sharded_train_step_updates_floats_only():
+    quant_type = "int8"
+    mesh = S.make_mesh(2, 4)
+    params = M.init_params(jax.random.PRNGKey(4), CFG, quant_type, jnp.float32)
+    params = S.shard_params(params, mesh, CFG, quant_type)
+    trainable, frozen = partition_params(params)
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(trainable)
+    step = jax.jit(make_train_step(CFG, quant_type, opt, jnp.float32, RT))
+
+    ids = jax.device_put(
+        jax.random.randint(jax.random.PRNGKey(5), (4, 16), 0, CFG.vocab_size),
+        NamedSharding(mesh, P(S.DATA_AXIS, None)),
+    )
+    with mesh:
+        t2, opt_state, loss = step(trainable, frozen, opt_state, ids, ids)
+        _, _, loss2 = step(t2, frozen, opt_state, ids, ids)
+    assert float(loss2) < float(loss)  # one SGD step reduces memorization loss
+    # quantized weights untouched
+    w0 = np.asarray(merge_params(trainable, frozen)["layers"]["q_proj"]["weight"])
+    w1 = np.asarray(merge_params(t2, frozen)["layers"]["q_proj"]["weight"])
+    np.testing.assert_array_equal(w0, w1)
+    # float params did move
+    a0 = np.asarray(trainable["layers"]["attn_ln"]["weight"])
+    a1 = np.asarray(t2["layers"]["attn_ln"]["weight"])
+    assert np.abs(a1 - a0).max() > 0
+
+
+def test_tp_divisibility_guard():
+    assert S.tp_divisibility_ok(CFG, 4, "int4g32")
+    assert S.tp_divisibility_ok(CFG, 8, "int4g32")
+    tiny = ChatGLM2Config(hidden_size=64, inner_hidden_size=64, head_hidden_size=16,
+                          num_attention_heads=4, num_multi_query_groups=2,
+                          num_layers=1, vocab_size=128)
+    assert not S.tp_divisibility_ok(tiny, 4, "int4g32")  # 64/4=16 not group-aligned
+    assert S.tp_divisibility_ok(tiny, 2, "int8")

@@ -134,12 +134,18 @@ class TestChatGLM2Tokenizer:
         assert batch.input_ids.shape[1] == 3
 
 
-@pytest.mark.skipif(
-    not pytest.importorskip("importlib.util").find_spec("sentencepiece"),
-    reason="sentencepiece not installed",
-)
+def _real_sentencepiece():
+    try:
+        import sentencepiece as spm
+
+        return None if getattr(spm, "_is_shim", False) else spm
+    except ImportError:
+        return None
+
+
+@pytest.mark.skipif(_real_sentencepiece() is None, reason="sentencepiece not installed")
 def test_cross_check_against_sentencepiece(uni_model, tmp_path):
-    import sentencepiece as spm
+    spm = _real_sentencepiece()
 
     path = tmp_path / "m.model"
     path.write_bytes(uni_model)
