@@ -16,11 +16,29 @@ tokens/s (BASELINE.md).
 Prints exactly one JSON line.
 """
 import json
+import os
 import sys
+import time
 
 import numpy as np
 import jax
+
+# persistent compilation cache: the 28-layer decode program takes minutes to
+# compile through this environment's remote-compile tunnel; cache hits bring
+# reruns down to seconds.
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import jax.numpy as jnp
+
+
+def _log(msg):
+    print(f"[bench {time.perf_counter()-_T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
 from chatglm_q_tpu.models import chatglm2 as M
@@ -120,11 +138,14 @@ def main():
     prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, prefill_len), 0, 60000)
     lengths = jnp.full((batch,), prefill_len, jnp.int32)
 
+    _log("params built")
     prefill = jax.jit(
         lambda p, ids, l, c: M.prefill(p, config, ids, l, c, quant_type, jnp.bfloat16, rt)
     )
     logits, cache0 = prefill(params, prompt, lengths, cache)
     first = jnp.argmax(logits, -1).astype(jnp.int32)
+    force(first)
+    _log("prefill compiled+run")
 
     from functools import partial
 
@@ -140,7 +161,8 @@ def main():
         c = jax.tree.map(lambda x: x.copy(), cache0)
         return force(decode_n(params, first, c, n))
 
-    per_tok = slope_time(run_n, 16, 80)
+    per_tok = slope_time(run_n, 8, 40)
+    _log(f"decode timed: {per_tok*1e3:.2f} ms/tok")
     toks_per_s = 1.0 / per_tok
     sol = HBM_GBPS * 1e9 / wbytes
 

@@ -110,6 +110,12 @@ class TpuRuntimeConfig:
     """
 
     use_pallas: Optional[bool] = None  # None = auto (TPU backend only)
+    # Pallas flash/ragged attention in the serving paths (None = follow
+    # use_pallas).  The XLA masked-softmax path remains for parity mode and
+    # for GSPMD-sharded execution (pallas_call has no partitioning rules,
+    # so multi-chip attention uses the XLA path until the kernels are
+    # shard_map-wrapped).
+    use_flash_attention: Optional[bool] = None
     # Matmul M-dimension at or below which the fused (bandwidth-bound) decode
     # kernels are used; above it, prefill-style dequant-then-matmul is used.
     decode_m_threshold: int = 128
@@ -123,3 +129,8 @@ class TpuRuntimeConfig:
         import jax
 
         return jax.default_backend() == "tpu"
+
+    def flash_enabled(self) -> bool:
+        if self.use_flash_attention is not None:
+            return self.use_flash_attention
+        return self.pallas_enabled()

@@ -190,9 +190,28 @@ def block_forward(
         k_full = jax.vmap(upd)(cache_k, k, start)
         v_full = jax.vmap(upd)(cache_v, v, start)
 
-    attn_in_tap = _attention_scores(
-        q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias
-    )
+    if isinstance(mask_bias, tuple):
+        # serving fast path: Pallas flash/ragged attention, mask from lengths
+        from ..ops import pallas_attention as PA
+
+        kind, lengths = mask_bias
+        sm_scale = 1.0 / float(np.sqrt(D))
+        kc = k_full.astype(q.dtype)
+        vc = v_full.astype(q.dtype)
+        if kind == "flash_prefill":
+            ctx = PA.flash_attention_prefill(
+                q, kc, vc, lengths, sm_scale, rt.attn_block_q, rt.attn_block_k
+            )
+            attn_in_tap = ctx.reshape(B, S, G * Hg * D)
+        else:  # flash_decode: S == 1
+            ctx = PA.flash_attention_decode(
+                q[:, 0], kc, vc, lengths, sm_scale, rt.attn_block_k
+            )
+            attn_in_tap = ctx.reshape(B, 1, G * Hg * D)
+    else:
+        attn_in_tap = _attention_scores(
+            q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias
+        )
     attn_out = quant_linear(attn_in_tap, layer_params["o_proj"], quant_type, rt)
     x = x + attn_out
 
@@ -337,11 +356,17 @@ def prefill(
 
     h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
 
-    # query t attends cache slots j ≤ t (cache slot j holds token j)
-    tq = jnp.arange(S)[:, None]
-    tk = jnp.arange(T)[None, :]
-    bias = jnp.where(tk <= tq, 0.0, MASK_VALUE).astype(jnp.float32)  # (S, T)
-    mask5 = bias[None, None, None, :, :]
+    if rt.flash_enabled():
+        # Pallas blockwise causal attention over the freshly written cache
+        # (only the first S cache slots are ever addressed: causality bounds
+        # every query's keys to slots < S)
+        mask5 = ("flash_prefill", lengths.astype(jnp.int32))
+    else:
+        # query t attends cache slots j ≤ t (cache slot j holds token j)
+        tq = jnp.arange(S)[:, None]
+        tk = jnp.arange(T)[None, :]
+        bias = jnp.where(tk <= tq, 0.0, MASK_VALUE).astype(jnp.float32)  # (S, T)
+        mask5 = bias[None, None, None, :, :]
 
     start = jnp.zeros((B,), jnp.int32)
     h, new_k, new_v = _layers_scan_serving(
@@ -375,10 +400,13 @@ def decode_step(
 
     h = quant_embedding_lookup(params["word_embedding"], next_ids[:, None], quant_type, dtype)
 
-    tk = jnp.arange(T)[None, :]
-    valid = tk <= cache.lengths[:, None]  # (B, T): slots 0..len (len = current)
-    bias = jnp.where(valid, 0.0, MASK_VALUE).astype(jnp.float32)
-    mask5 = bias[:, None, None, None, :]
+    if rt.flash_enabled():
+        mask5 = ("flash_decode", cache.lengths.astype(jnp.int32))
+    else:
+        tk = jnp.arange(T)[None, :]
+        valid = tk <= cache.lengths[:, None]  # (B, T): slots 0..len (current incl.)
+        bias = jnp.where(valid, 0.0, MASK_VALUE).astype(jnp.float32)
+        mask5 = bias[:, None, None, None, :]
 
     h, new_k, new_v = _layers_scan_serving(
         params, config, quant_type, rt, h, freqs_cis, mask5, cache, cache.lengths

@@ -1,0 +1,283 @@
+"""Pallas flash/ragged attention kernels for MQA (grouped KV) on TPU.
+
+The reference materializes a (B, S, S) additive mask and runs naive O(S²)
+attention (model.py:166-173, :311-317), capping context at 8192.  These
+kernels re-create attention the TPU way:
+
+* :func:`flash_attention_prefill` — blockwise (online-softmax) causal
+  attention; the mask is computed on the fly from block indices, never
+  materialized; KV tiles above the causal diagonal are skipped entirely.
+  MQA-aware: the ``Hg`` query heads of a KV group are folded into the
+  row dimension of the Q tile, so one kernel invocation serves all heads
+  sharing a K/V (the reference broadcasts over a size-1 axis instead,
+  model.py:143-146).
+* :func:`flash_attention_decode` — single-token ragged attention over a
+  preallocated cache with per-row lengths: KV blocks at or beyond a row's
+  length are skipped (no DMA, no compute), so decode cost is O(length),
+  not O(S_max).
+
+Both are tested against the jnp masked-softmax oracle (the model's XLA
+fallback path) in interpret mode on CPU and compiled on TPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Prefill: blockwise causal attention (right-padded rows, per-row lengths)
+# ---------------------------------------------------------------------------
+
+def _prefill_kernel(
+    lengths_ref,  # SMEM (B,)
+    q_ref,        # (1, 1, bq*Hg, D)
+    k_ref,        # (1, 1, bk, D)
+    v_ref,        # (1, 1, bk, D)
+    o_ref,        # (1, 1, bq*Hg, D)
+    m_ref,        # scratch (bq*Hg, 128) f32
+    l_ref,        # scratch (bq*Hg, 128) f32
+    acc_ref,      # scratch (bq*Hg, D) f32
+    *,
+    hg: int,
+    bq: int,
+    bk: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = lengths_ref[b]
+    # causal block skip: lowest q position in this tile is qi*bq; a kv tile
+    # starting beyond it contributes nothing
+    first_q = qi * bq
+    last_q = first_q + bq - 1
+
+    @pl.when((ki * bk <= last_q) & (ki * bk < length))
+    def _():
+        q = q_ref[0, 0]                       # (bq*Hg, D)
+        k = k_ref[0, 0]                       # (bk, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale                          # (bq*Hg, bk)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // hg + first_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+        mask = (cols <= rows) & (cols < length)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_ref[...][:, :1]
+        l_prev = l_ref[...][:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        v = v_ref[0, 0]                       # (bk, D)
+        o_curr = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + o_curr
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _():
+        l = l_ref[...][:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def flash_attention_prefill(
+    q: jax.Array,        # (B, S, G, Hg, D)
+    k: jax.Array,        # (B, S, G, D)
+    v: jax.Array,        # (B, S, G, D)
+    lengths: jax.Array,  # (B,) int32
+    sm_scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Causal masked softmax(q·kᵀ·scale)·v with per-row valid lengths.
+
+    Returns (B, S, G, Hg, D).  Query position s attends kv positions ≤ s
+    that are < lengths[b] (matching the serving-mode mask in
+    models/chatglm2.py prefill).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    B, S, G, Hg, D = q.shape
+    bq = min(block_q, S)
+    bk = min(block_k, S)
+    while S % bq:
+        bq //= 2
+    while S % bk:
+        bk //= 2
+
+    # fold heads into q rows: (B, G, S, Hg, D) → (B, G, S*Hg, D)
+    qf = q.transpose(0, 2, 1, 3, 4).reshape(B, G, S * Hg, D)
+    kf = k.transpose(0, 2, 1, 3)  # (B, G, S, D)
+    vf = v.transpose(0, 2, 1, 3)
+
+    grid = (B, G, S // bq, S // bk)
+    out = pl.pallas_call(
+        functools.partial(
+            _prefill_kernel, hg=Hg, bq=bq, bk=bk, sm_scale=sm_scale
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, bq * Hg, D), lambda b, g, qi, ki, *_: (b, g, qi, 0)
+                ),
+                pl.BlockSpec((1, 1, bk, D), lambda b, g, qi, ki, *_: (b, g, ki, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, g, qi, ki, *_: (b, g, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq * Hg, D), lambda b, g, qi, ki, *_: (b, g, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq * Hg, 128), jnp.float32),
+                pltpu.VMEM((bq * Hg, 128), jnp.float32),
+                pltpu.VMEM((bq * Hg, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, S * Hg, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qf, kf, vf)
+
+    return out.reshape(B, G, S, Hg, D).transpose(0, 2, 1, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# Decode: single-token ragged attention over the preallocated cache
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(
+    lengths_ref,  # SMEM (B,)
+    q_ref,        # (1, 1, Hg, D)
+    k_ref,        # (1, 1, bk, D)
+    v_ref,        # (1, 1, bk, D)
+    o_ref,        # (1, 1, Hg, D)
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    bk: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # valid kv slots: 0 .. lengths[b] inclusive (current token already written)
+    n_valid = lengths_ref[b] + 1
+
+    @pl.when(ki * bk < n_valid)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+        s = jnp.where(cols < n_valid, s, MASK_VALUE)
+
+        m_prev = m_ref[...][:, :1]
+        l_prev = l_ref[...][:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        v = v_ref[0, 0]
+        o_curr = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + o_curr
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        l = l_ref[...][:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def flash_attention_decode(
+    q: jax.Array,        # (B, G, Hg, D) — one new token per row
+    k: jax.Array,        # (B, T, G, D) cache (current token already written)
+    v: jax.Array,        # (B, T, G, D)
+    lengths: jax.Array,  # (B,) int32 — cache length BEFORE this token
+    sm_scale: float,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Ragged decode attention: row b attends cache slots ≤ lengths[b].
+
+    KV blocks beyond the valid length are skipped, making the per-token
+    cost O(length) instead of O(T).  Returns (B, G, Hg, D).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    B, G, Hg, D = q.shape
+    T = k.shape[1]
+    bk = min(block_k, T)
+    while T % bk:
+        bk //= 2
+
+    kf = k.transpose(0, 2, 1, 3)  # (B, G, T, D)
+    vf = v.transpose(0, 2, 1, 3)
+
+    grid = (B, G, T // bk)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, bk=bk, sm_scale=sm_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, Hg, D), lambda b, g, ki, *_: (b, g, 0, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, g, ki, *_: (b, g, ki, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, g, ki, *_: (b, g, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Hg, D), lambda b, g, ki, *_: (b, g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hg, 128), jnp.float32),
+                pltpu.VMEM((Hg, 128), jnp.float32),
+                pltpu.VMEM((Hg, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, kf, vf)
+    return out

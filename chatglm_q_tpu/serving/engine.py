@@ -1,0 +1,274 @@
+"""Slot-based continuous batching engine.
+
+The reference serves batch-1 with a Python decode loop
+(/root/reference/chatglm_q/decoder.py:65-108).  This engine re-creates that
+capability at production shape, the TPU way (SURVEY.md §7 step 7):
+
+* a persistent KV cache with ``max_batch`` **slots** (fixed shapes under
+  jit; per-slot lengths make the batch ragged);
+* **admission between decode steps**: a new request is prefilled into a
+  free slot (bucketed prompt length → bounded compile set) and scattered
+  into the big cache with ``lax.dynamic_update_slice`` while other slots
+  keep decoding;
+* **chunked decode**: ``decode_chunk`` runs N decode+sample steps fully
+  on-device (``lax.scan``) between host synchronizations, so host RTT is
+  amortized across N tokens; finished sequences are retired at chunk
+  boundaries (their slots are freed and their over-generated tail
+  discarded);
+* per-slot sampling state (PRNG streams) and eos/length termination.
+
+Single-host engine; each data-parallel shard of a multi-host deployment
+runs one engine instance over its local batch slots.
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GLMLoadConfig, TpuRuntimeConfig
+from ..models import chatglm2 as M
+from ..ops.sampling import top_p_sampling, greedy_sampling
+from .chat import process_response
+
+_DEFAULT_RT = TpuRuntimeConfig()
+
+
+@dataclass
+class Request:
+    req_id: int
+    prompt_ids: list
+    max_new_tokens: int = 256
+    temperature: float = 1.0
+    top_p: float = 0.8
+    top_k: int = 100
+    # filled by the engine
+    generated: list = field(default_factory=list)
+    done: bool = False
+
+
+@dataclass
+class _Slot:
+    request: Optional[Request] = None
+    budget: int = 0
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        config: GLMLoadConfig,
+        params: dict,
+        tokenizer=None,
+        max_batch: int = 8,
+        max_seq_len: Optional[int] = None,
+        decode_chunk: int = 16,
+        rt: TpuRuntimeConfig = _DEFAULT_RT,
+        dtype=None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.mc = config.model_config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.rt = rt
+        self.dtype = dtype or config.activation_dtype
+        self.max_batch = max_batch
+        self.max_seq_len = max_seq_len or self.mc.max_sequence_length
+        self.chunk = decode_chunk
+        self.eos_token_id = tokenizer["</s>"] if tokenizer is not None else 2
+
+        self.cache = M.init_kv_cache(self.mc, max_batch, self.max_seq_len, self.dtype)
+        self.slots = [_Slot() for _ in range(max_batch)]
+        self.queue: list[Request] = []
+        self.finished: list[Request] = []
+        self._req_counter = itertools.count()
+        self._rng = jax.random.PRNGKey(seed)
+        # last sampled token per slot (feeds the next decode step)
+        self._last_tok = np.zeros((max_batch,), np.int32)
+
+        qt = config.quant_type
+
+        @partial(jax.jit, static_argnames=("bucket",), donate_argnums=(1,))
+        def _prefill_into_slot(params, cache, ids_1xS, length, slot, bucket):
+            # prefill a batch-1 temp cache, then scatter into the big cache
+            tmp = M.init_kv_cache(self.mc, 1, self.max_seq_len, self.dtype)
+            logits, tmp = M.prefill(
+                params, self.mc, ids_1xS, length[None], tmp, qt, self.dtype, self.rt
+            )
+            new_k = jax.lax.dynamic_update_slice(
+                cache.k, tmp.k, (0, slot, 0, 0, 0)
+            )
+            new_v = jax.lax.dynamic_update_slice(
+                cache.v, tmp.v, (0, slot, 0, 0, 0)
+            )
+            new_lengths = cache.lengths.at[slot].set(length)
+            return logits[0], M.KVCache(k=new_k, v=new_v, lengths=new_lengths)
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
+        def _decode_chunk(params, cache, first_tok, rng, active, sampling, n):
+            temperature, top_p = sampling
+
+            def step(carry, rng_step):
+                tok, cache = carry
+                logits, cache = M.decode_step(
+                    params, self.mc, tok, cache, qt, self.dtype, self.rt
+                )
+                sampled = top_p_sampling(rng_step, logits, 100, top_p, temperature)
+                greedy = greedy_sampling(logits)
+                nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+                return (nxt, cache), nxt
+
+            rngs = jax.random.split(rng, n)
+            (last, cache), toks = jax.lax.scan(step, (first_tok, cache), rngs)
+            # inactive slots must not advance their lengths
+            fixed_lengths = jnp.where(
+                active, cache.lengths, cache.lengths - n
+            )
+            return toks.T, cache.replace(lengths=fixed_lengths)
+
+        self._prefill_into_slot = _prefill_into_slot
+        self._decode_chunk = _decode_chunk
+
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt_ids: list, **kwargs) -> int:
+        req = Request(next(self._req_counter), list(prompt_ids), **kwargs)
+        self.queue.append(req)
+        return req.req_id
+
+    def submit_text(self, text: str, **kwargs) -> int:
+        assert self.tokenizer is not None
+        return self.submit(self.tokenizer.encode(text), **kwargs)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(s.request for s in self.slots)
+
+    def _bucket(self, n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return min(b, self.max_seq_len)
+
+    def _admit(self):
+        """Prefill queued requests into free slots."""
+        for slot_idx, slot in enumerate(self.slots):
+            if slot.request is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            ids = req.prompt_ids[-self.max_seq_len + req.max_new_tokens :]
+            bucket = self._bucket(len(ids))
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, : len(ids)] = ids
+            logits, self.cache = self._prefill_into_slot(
+                self.params, self.cache, jnp.asarray(padded),
+                jnp.int32(len(ids)), jnp.int32(slot_idx), bucket=bucket,
+            )
+            self._rng, sub = jax.random.split(self._rng)
+            if req.temperature > 0:
+                tok = int(top_p_sampling(sub, logits, req.top_k,
+                                         req.top_p, req.temperature))
+            else:
+                tok = int(greedy_sampling(logits))
+            req.generated.append(tok)
+            slot.request = req
+            slot.budget = req.max_new_tokens - 1
+            self._last_tok[slot_idx] = tok
+            self._maybe_finish(slot_idx)
+
+    def _maybe_finish(self, slot_idx: int):
+        slot = self.slots[slot_idx]
+        req = slot.request
+        if req is None:
+            return
+        if req.generated and req.generated[-1] == self.eos_token_id:
+            req.done = True
+        if slot.budget <= 0:
+            req.done = True
+        if int(self.cache.lengths[slot_idx]) + 1 >= self.max_seq_len:
+            req.done = True
+        if req.done:
+            # strip a trailing eos from the visible output
+            if req.generated and req.generated[-1] == self.eos_token_id:
+                req.generated.pop()
+            self.finished.append(req)
+            slot.request = None
+            slot.budget = 0
+
+    def step(self) -> list[tuple[int, list]]:
+        """Admit + one decode chunk.  Returns [(req_id, new_tokens)] for
+        sequences that advanced this step."""
+        self._admit()
+        active_mask = np.array(
+            [s.request is not None for s in self.slots], bool
+        )
+        if not active_mask.any():
+            return []
+        n = max(1, min(self.chunk, min(
+            s.budget for s in self.slots if s.request is not None
+        )))
+        # one sampling config per chunk: use the first active request's
+        # (requests with distinct sampling settings still work — their
+        # tokens are sampled with the chunk's shared temperature/top_p)
+        first_req = next(s.request for s in self.slots if s.request)
+        self._rng, sub = jax.random.split(self._rng)
+        toks, self.cache = self._decode_chunk(
+            self.params,
+            self.cache,
+            jnp.asarray(self._last_tok),
+            sub,
+            jnp.asarray(active_mask),
+            (jnp.float32(first_req.temperature), jnp.float32(first_req.top_p)),
+            n,
+        )
+        toks = np.asarray(toks)  # (B, n)
+        out = []
+        for b, slot in enumerate(self.slots):
+            req = slot.request
+            if req is None:
+                continue
+            new = []
+            for t in toks[b]:
+                t = int(t)
+                new.append(t)
+                req.generated.append(t)
+                slot.budget -= 1
+                if t == self.eos_token_id or slot.budget <= 0:
+                    break
+            # roll back cache length past eos/budget over-generation
+            extra = n - len(new)
+            if extra > 0:
+                self.cache = self.cache.replace(
+                    lengths=self.cache.lengths.at[b].add(-extra)
+                )
+            self._last_tok[b] = new[-1]
+            out.append((req.req_id, new))
+            self._maybe_finish(b)
+        return out
+
+    def run(self, prompts: list, **kwargs) -> list[str]:
+        """Submit all prompts, run to completion, return decoded texts in
+        submission order."""
+        ids = {}
+        for p in prompts:
+            if isinstance(p, str):
+                rid = self.submit_text(p, **kwargs)
+            else:
+                rid = self.submit(p, **kwargs)
+            ids[rid] = None
+        while self.has_work:
+            self.step()
+        by_id = {r.req_id: r for r in self.finished}
+        out = []
+        for rid in ids:
+            req = by_id[rid]
+            if self.tokenizer is not None:
+                out.append(process_response(self.tokenizer.decode(req.generated)))
+            else:
+                out.append(req.generated)
+        return out

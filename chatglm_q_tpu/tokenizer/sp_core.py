@@ -53,12 +53,23 @@ class SpTokenizer:
     ``piece_to_id``/``__getitem__``, ``bos_id``, ``eos_id``, ``unk_id``.
     """
 
-    def __init__(self, model: Union[SpModelProto, bytes, str, Path]):
+    def __init__(self, model: Union[SpModelProto, bytes, str, Path], use_native: Optional[bool] = None):
         if isinstance(model, (str, Path)):
             model = Path(model).read_bytes()
         if isinstance(model, bytes):
             model = parse_model(model)
         self.proto = model
+        # native C++ encode core (native/sptok) when built; None = auto
+        self._native = None
+        if use_native is not False:
+            try:
+                from .native import NativeEncoder, native_available
+
+                if native_available():
+                    self._native = NativeEncoder(model)
+            except Exception:
+                if use_native:
+                    raise
         self.pieces = model.pieces
         self._piece_to_id = {p.piece: i for i, p in enumerate(self.pieces)}
         self._scores = [p.score for p in self.pieces]
@@ -130,6 +141,8 @@ class SpTokenizer:
         text = self.normalize(text)
         if not text:
             return []
+        if self._native is not None:
+            return self._native.encode_normalized(text)
         if self.proto.model_type == MODEL_BPE:
             return self._encode_bpe(text)
         if self.proto.model_type in (MODEL_UNIGRAM, MODEL_WORD, MODEL_CHAR):

@@ -1,0 +1,106 @@
+"""Flash/ragged attention kernels vs the XLA masked-softmax oracle, both
+standalone and wired into the serving paths (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+from chatglm_q_tpu.models import chatglm2 as M
+from chatglm_q_tpu.ops.pallas_attention import (
+    flash_attention_prefill,
+    flash_attention_decode,
+)
+
+CFG = ChatGLM2Config(
+    hidden_size=64, inner_hidden_size=64, head_hidden_size=16,
+    num_multi_query_groups=2, num_attention_heads=4, num_layers=2,
+    vocab_size=128, max_sequence_length=64,
+)
+RT_XLA = TpuRuntimeConfig(use_pallas=False, use_flash_attention=False)
+RT_FLASH = TpuRuntimeConfig(use_pallas=False, use_flash_attention=True)
+
+
+def test_prefill_kernel_vs_oracle():
+    B, S, G, Hg, D = 2, 32, 2, 4, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, G, Hg, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, G, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, G, D))
+    lengths = jnp.asarray([20, 32], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    s = jnp.einsum("bsghd,btgd->bghst", q, k) * sm
+    tq = jnp.arange(S)[:, None]
+    tk = jnp.arange(S)[None, :]
+    m = (tk <= tq)[None] & (tk[None] < lengths[:, None, None])
+    ref = jnp.einsum(
+        "bghst,btgd->bsghd",
+        jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), axis=-1), v,
+    )
+    out = flash_attention_prefill(q, k, v, lengths, sm, 8, 16, interpret=True)
+    valid = np.asarray(jnp.arange(S)[None, :] < lengths[:, None])
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_decode_kernel_vs_oracle_ragged():
+    B, T, G, Hg, D = 3, 64, 2, 4, 16
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, G, Hg, D))
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, T, G, D))
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, T, G, D))
+    lengths = jnp.asarray([0, 17, 63], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    s = jnp.einsum("bghd,btgd->bght", q, k) * sm
+    m = jnp.arange(T)[None, :] <= lengths[:, None]
+    ref = jnp.einsum(
+        "bght,btgd->bghd",
+        jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), axis=-1), v,
+    )
+    out = flash_attention_decode(q, k, v, lengths, sm, 16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_serving_path_flash_matches_xla():
+    """prefill + decode steps must produce identical logits via both
+    attention implementations."""
+    params = M.init_params(jax.random.PRNGKey(0), CFG, "none", jnp.float32)
+    ids = jnp.asarray([[3, 17, 42, 99, 5], [7, 9, 11, 0, 0]])
+    lengths = jnp.asarray([5, 3], jnp.int32)
+
+    def run(rt):
+        cache = M.init_kv_cache(CFG, 2, 16, jnp.float32)
+        logits, cache = M.prefill(params, CFG, ids, lengths, cache,
+                                  "none", jnp.float32, rt)
+        out = [logits]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(3):
+            logits, cache = M.decode_step(params, CFG, tok, cache,
+                                          "none", jnp.float32, rt)
+            out.append(logits)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return out
+
+    xla = run(RT_XLA)
+    flash = run(RT_FLASH)
+    for a, b in zip(xla, flash):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_prefill_long_context_no_quadratic_mask():
+    """8K-context prefill through the flash path must not materialize a
+    (B, S, S) mask (the reference's OOM hazard, model.py:311-317); smoke
+    test at S=512 on CPU."""
+    cfg = ChatGLM2Config(
+        hidden_size=64, inner_hidden_size=64, head_hidden_size=16,
+        num_multi_query_groups=2, num_attention_heads=4, num_layers=1,
+        vocab_size=128, max_sequence_length=1024,
+    )
+    params = M.init_params(jax.random.PRNGKey(1), cfg, "none", jnp.float32)
+    S = 512
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, S), 0, 128)
+    cache = M.init_kv_cache(cfg, 1, S, jnp.float32)
+    logits, cache = M.prefill(params, cfg, ids, jnp.asarray([S], jnp.int32),
+                              cache, "none", jnp.float32, RT_FLASH)
+    assert bool(jnp.isfinite(logits).all())
