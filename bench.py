@@ -54,7 +54,10 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
     V, L = config.vocab_size, config.num_layers
     ks = iter(jax.random.split(rng, 64))
 
+    from chatglm_q_tpu.ops.quant import int4_storage_k
+
     def lin(k, n, bias):
+        k = int4_storage_k(k)
         if quant_type == "int4g32":
             p = {
                 # random.bits: native uint8 generation, no int32 transients

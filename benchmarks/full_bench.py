@@ -1,0 +1,110 @@
+"""Extended benchmark suite (the headline driver metric stays in /bench.py).
+
+Measures, on the real chip, with slope-timing (utils/timing.py):
+  * batch-1 decode tok/s for bf16 / int8 / int4g32 (BASELINE configs 2-3)
+  * batched decode throughput (tokens/s aggregate) at several batch sizes
+  * prefill throughput (tokens/s) at a given prompt length
+
+Usage: python benchmarks/full_bench.py [--quant int4g32] [--batches 1,8,32]
+Writes JSONL records to stdout.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import random_quantized_params, weight_bytes_per_token, HBM_GBPS
+from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+from chatglm_q_tpu.models import chatglm2 as M
+from chatglm_q_tpu.utils.timing import force, slope_time
+
+
+def bench_decode(config, params, quant_type, batch, cache_len, rt):
+    cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)
+    cache = cache.replace(lengths=jnp.full((batch,), 64, jnp.int32))
+    first = jnp.zeros((batch,), jnp.int32)
+
+    @partial(jax.jit, static_argnames="n")
+    def decode_n(p, first, cache, n):
+        toks, _ = M.multi_step_decode(
+            p, config, first, cache, n, None, quant_type, jnp.bfloat16, rt
+        )
+        return toks.sum()
+
+    def run_n(n):
+        return force(decode_n(params, first, cache, n))
+
+    per_step = slope_time(run_n, 8, 40)
+    return batch / per_step  # aggregate tokens/s
+
+
+def bench_prefill(config, params, quant_type, batch, seq, rt):
+    prompt = jnp.zeros((batch, seq), jnp.int32)
+    lengths = jnp.full((batch,), seq, jnp.int32)
+
+    @partial(jax.jit, static_argnames="reps")
+    def prefill_n(p, ids, l, reps):
+        def body(acc, _):
+            cache = M.init_kv_cache(config, batch, seq, jnp.bfloat16)
+            logits, _ = M.prefill(p, config, ids, l, cache, quant_type, jnp.bfloat16, rt)
+            return acc + logits.sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return acc
+
+    per = slope_time(lambda n: force(prefill_n(params, prompt, lengths, n)), 1, 4)
+    return batch * seq / per  # prompt tokens/s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quants", default="int4g32,int8,none")
+    ap.add_argument("--batches", default="1,8")
+    ap.add_argument("--cache-len", type=int, default=1024)
+    ap.add_argument("--prefill-len", type=int, default=512)
+    ap.add_argument("--flash", action="store_true", help="enable flash-attention kernels")
+    args = ap.parse_args()
+
+    config = ChatGLM2Config()
+    rt = TpuRuntimeConfig(use_flash_attention=args.flash or None)
+
+    for quant in args.quants.split(","):
+        params = random_quantized_params(jax.random.PRNGKey(0), config, quant)
+        wbytes = weight_bytes_per_token(params)
+        sol = HBM_GBPS * 1e9 / wbytes
+        for b in map(int, args.batches.split(",")):
+            t0 = time.perf_counter()
+            tps = bench_decode(config, params, quant, b, args.cache_len, rt)
+            print(json.dumps({
+                "bench": "decode", "quant": quant, "batch": b,
+                "cache_len": args.cache_len,
+                "tokens_per_sec": round(tps, 2),
+                "per_seq_tok_s": round(tps / b, 2),
+                "sol_frac_batch1_equiv": round(tps / b / sol, 4),
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }), flush=True)
+        t0 = time.perf_counter()
+        ptps = bench_prefill(config, params, quant, 1, args.prefill_len, rt)
+        print(json.dumps({
+            "bench": "prefill", "quant": quant, "batch": 1,
+            "seq": args.prefill_len,
+            "prompt_tokens_per_sec": round(ptps, 1),
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }), flush=True)
+        del params
+
+
+if __name__ == "__main__":
+    main()

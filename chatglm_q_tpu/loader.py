@@ -62,11 +62,22 @@ def _linear_from_sd(sd, prefix, quant_type, dtype, transpose_float=True):
     if quant_type == "none":
         out["weight"] = np.ascontiguousarray(w.T).astype(dtype) if transpose_float else w
     elif quant_type == "int8":
-        out["weight"] = np.ascontiguousarray(w.T)  # (K, N) int8
+        wt = np.ascontiguousarray(w.T)  # (K, N) int8
+        Ks = Q.int4_storage_k(wt.shape[0])
+        if Ks != wt.shape[0]:  # kernel-alignment zero padding (ops/quant.py)
+            wt = np.pad(wt, ((0, Ks - wt.shape[0]), (0, 0)))
+        out["weight"] = wt
         out["weight_scale"] = sd.pop(prefix + ".weight_scale").astype(np.float32)
     elif quant_type == "int4g32":
-        out["weight"] = Q.repack_ref_to_tpu(w)     # (K/2, N) uint8
-        out["weight_scale"] = sd.pop(prefix + ".weight_scale").astype(np.float32)
+        packed = Q.repack_ref_to_tpu(w)     # (K/2, N) uint8
+        scale = sd.pop(prefix + ".weight_scale").astype(np.float32)
+        K = packed.shape[0] * 2
+        Ks = Q.int4_storage_k(K)
+        if Ks != K:
+            packed = np.pad(packed, ((0, (Ks - K) // 2), (0, 0)))
+            scale = np.pad(scale, ((0, (Ks - K) // 32), (0, 0)), constant_values=1.0)
+        out["weight"] = packed
+        out["weight_scale"] = scale
     else:
         raise NotImplementedError(quant_type)
     bias = sd.pop(prefix + ".bias", None)
@@ -147,15 +158,16 @@ def params_to_state_dict(params: dict, config: ChatGLM2Config, quant_type: str) 
     sd = {}
     qs = config.q_size
 
-    def put_linear(prefix, d):
+    def put_linear(prefix, d, k_logical):
+        # strip the kernel-alignment K padding (storage-only, ops/quant.py)
         if quant_type == "none":
             sd[prefix + ".weight"] = np.ascontiguousarray(d["weight"].T)
         elif quant_type == "int8":
-            sd[prefix + ".weight"] = np.ascontiguousarray(d["weight"].T)
+            sd[prefix + ".weight"] = np.ascontiguousarray(d["weight"][:k_logical].T)
             sd[prefix + ".weight_scale"] = d["weight_scale"]
         else:
-            sd[prefix + ".weight"] = Q.repack_tpu_to_ref(d["weight"])
-            sd[prefix + ".weight_scale"] = d["weight_scale"]
+            sd[prefix + ".weight"] = Q.repack_tpu_to_ref(d["weight"][: k_logical // 2])
+            sd[prefix + ".weight_scale"] = d["weight_scale"][: k_logical // 32]
         if "bias" in d:
             sd[prefix + ".bias"] = d["bias"]
 
@@ -173,13 +185,15 @@ def params_to_state_dict(params: dict, config: ChatGLM2Config, quant_type: str) 
         li = jax.tree.map(lambda x: x[i], p["layers"])
         sd[f"layers.{i}.attn_ln.weight"] = li["attn_ln"]["weight"]
         sd[f"layers.{i}.ffn_ln.weight"] = li["ffn_ln"]["weight"]
-        put_linear(f"layers.{i}.attn.qkv_proj", merge_cols(li["q_proj"], li["kv_proj"]))
-        put_linear(f"layers.{i}.attn.o_proj", li["o_proj"])
-        put_linear(f"layers.{i}.ffn.w_in", merge_cols(li["w_in_h"], li["w_in_gate"]))
-        put_linear(f"layers.{i}.ffn.w_out", li["w_out"])
+        put_linear(f"layers.{i}.attn.qkv_proj",
+                   merge_cols(li["q_proj"], li["kv_proj"]), config.hidden_size)
+        put_linear(f"layers.{i}.attn.o_proj", li["o_proj"], qs)
+        put_linear(f"layers.{i}.ffn.w_in",
+                   merge_cols(li["w_in_h"], li["w_in_gate"]), config.hidden_size)
+        put_linear(f"layers.{i}.ffn.w_out", li["w_out"], config.inner_hidden_size)
 
     sd["final_ln.weight"] = p["final_ln"]["weight"]
-    put_linear("lm_head", p["lm_head"])
+    put_linear("lm_head", p["lm_head"], config.hidden_size)
     return sd
 
 

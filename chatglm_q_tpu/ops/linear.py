@@ -50,7 +50,13 @@ def _int8_matmul_t_fallback(g, w, scale):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def int8_matmul(flags, x, w, scale):
-    """x (M, K) float @ dequant(w (K, N) int8, scale (N,)) → (M, N)."""
+    """x (M, K) float @ dequant(w (Ks, N) int8, scale (N,)) → (M, N).
+
+    Storage Ks may exceed logical K (zero-row kernel-alignment padding);
+    activations are zero-padded to match.
+    """
+    if x.shape[1] < w.shape[0]:
+        x = jnp.pad(x, ((0, 0), (0, w.shape[0] - x.shape[1])))
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
@@ -70,6 +76,7 @@ def _int8_matmul_bwd(flags, res, g):
         gx = PM.int8_matmul_t_pallas(g, w, scale)
     else:
         gx = _int8_matmul_t_fallback(g, w, scale)
+    gx = gx[:, : x.shape[1]]  # strip storage padding
     return gx.astype(x.dtype), _float0_zeros(w), jnp.zeros_like(scale)
 
 
@@ -92,12 +99,25 @@ def _int4_matmul_t_fallback(g, packed, scale):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def int4_matmul(flags, x, packed, scale):
-    """x (M, K) float @ dequant(packed (K//2, N) uint8 tpu-order, scale (G, N))."""
+    """x (M, K) float @ dequant(packed (Ks//2, N) uint8 tpu-order, scale (G, N)).
+
+    The storage Ks may exceed the logical K (kernel-alignment padding, see
+    ops/quant.py int4_storage_k); activation columns are zero-padded to
+    match (padded weight rows dequantize to 0, so the result is exact).
+    """
+    xp = _pad_x_to_storage(x, packed)
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
-        return PM.int4_matmul_pallas(x, packed, scale)
-    return _int4_matmul_fallback(x, packed, scale)
+        return PM.int4_matmul_pallas(xp, packed, scale)
+    return _int4_matmul_fallback(xp, packed, scale)
+
+
+def _pad_x_to_storage(x, packed):
+    Ks = packed.shape[0] * 2
+    if x.shape[1] < Ks:
+        x = jnp.pad(x, ((0, 0), (0, Ks - x.shape[1])))
+    return x
 
 
 def _int4_matmul_fwd(flags, x, packed, scale):
@@ -112,6 +132,7 @@ def _int4_matmul_bwd(flags, res, g):
         gx = PM.int4_matmul_t_pallas(g, packed, scale)
     else:
         gx = _int4_matmul_t_fallback(g, packed, scale)
+    gx = gx[:, : x.shape[1]]  # strip storage padding
     return gx.astype(x.dtype), _float0_zeros(packed), jnp.zeros_like(scale)
 
 

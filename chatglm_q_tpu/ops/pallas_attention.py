@@ -124,7 +124,9 @@ def flash_attention_prefill(
     if interpret is None:
         interpret = not _is_tpu()
     B, S, G, Hg, D = q.shape
-    bq = min(block_q, S)
+    # cap the Q tile at ~512 ROWS (positions × folded heads): Mosaic compile
+    # time degrades sharply on multi-thousand-row blocks (measured)
+    bq = max(8 // Hg or 1, min(block_q, S, 512 // Hg or 1))
     bk = min(block_k, S)
     while S % bq:
         bq //= 2

@@ -113,7 +113,7 @@ def _int8_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret):
+def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -126,6 +126,14 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret):
     w = q.astype(x_ref.dtype)
     s = s_ref[...].astype(x_ref.dtype)                    # (gb, bn)
     w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
+    if k_total % bk:
+        # the final K block overhangs the array; its out-of-bounds rows read
+        # garbage — zero them so they contribute nothing to the dot (the
+        # overhanging x columns then multiply zeros).  Emitted only for
+        # non-dividing K (e.g. ChatGLM2 inner dim 13696 = 26×512 + 384).
+        valid = k_total - k * bk
+        rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        w = jnp.where(rows < valid, w, jnp.zeros_like(w))
     acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -170,22 +178,26 @@ def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=512, interpret=None):
 def _pick_int4_bk(K: int, bk_cap: int):
     """K-block size for int4 kernels.
 
-    TPU block shapes need their sublane dim to be a multiple of 8 or equal
-    to the full array dim; the scale block has bk/32 sublanes, so blocked
-    mode needs bk % 256 == 0.  When K admits no such divisor (e.g. the
-    ChatGLM2 inner dim 13696 = 128·107), fall back to a single whole-K step
-    (bk == K): every block is then "equal to the respective dimension",
-    which is always legal.
+    The int4 scale block has bk/32 sublane rows, which TPU requires to be a
+    multiple of 8 (or the full dim) — so blocked mode uses bk % 256 == 0.
+    K need NOT divide by bk: the grid is cdiv(K, bk) and the final partial
+    block is masked in-kernel (fwd) or write-clipped (transposed).  Whole-K
+    single blocks are allowed only for small K — Mosaic compile time blows
+    up on giant single-block dequants (measured: K=13696 whole-block takes
+    >7 min to compile vs ~30 s tiled).
     """
+    if K <= 512 and K % 128 == 0 and (K // 2) % 8 == 0 and K % 32 == 0:
+        if _largest_divisor(K, 256, bk_cap) is None:
+            return K  # small whole-K (e.g. 384): blocks equal full dims
     bk = _largest_divisor(K, 256, bk_cap)
     if bk is not None:
         return bk
-    if K % 128 == 0 and (K // 2) % 8 == 0 and K % 32 == 0:
-        return K  # whole-K mode
+    if K > 512 and K % 128 == 0:
+        return 512  # cdiv grid with masked final partial block
     return None
 
 
-def int4_matmul_pallas(x, packed, scale, *, bk_cap=4096, bn_cap=512, interpret=None):
+def int4_matmul_pallas(x, packed, scale, *, bk_cap=1024, bn_cap=512, interpret=None):
     """x (M, K) @ dequant(packed (K/2, N) u8 nibble-pairs, scale (K/32, N))."""
     if interpret is None:
         interpret = not _is_tpu()
@@ -194,9 +206,6 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=4096, bn_cap=512, interpret=N
     G = scale.shape[0]
     assert K == 2 * K2 and K == 32 * G, (K, K2, G)
     bk = _pick_int4_bk(K, bk_cap)
-    if bk == K:
-        # bound the dequantized bf16 intermediate (K × bn × 2B) to ~8 MB
-        bn_cap = min(bn_cap, max(128, (8 << 20) // (2 * K) // 128 * 128))
     bn = _largest_divisor(N, 128, bn_cap)
     if bk is None or bn is None:
         from .quant import unpack_int4_tpu
@@ -207,8 +216,8 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=4096, bn_cap=512, interpret=N
     Mp = xp.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_int4_fwd_kernel, interpret=interpret),
-        grid=(Mp // bm, N // bn, K // bk),
+        functools.partial(_int4_fwd_kernel, interpret=interpret, k_total=K),
+        grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
@@ -326,7 +335,7 @@ def int4_matmul_t_pallas(g, packed, scale, *, bk_cap=512, bn_cap=2048, interpret
 
     out = pl.pallas_call(
         functools.partial(_int4_t_kernel, interpret=interpret),
-        grid=(Mp // bm, K // bk, N // bn),
+        grid=(Mp // bm, pl.cdiv(K, bk), N // bn),
         in_specs=[
             pl.BlockSpec((bm, bn), lambda m, k, n: (m, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // 2, bn), lambda m, k, n: (k, n), memory_space=pltpu.VMEM),

@@ -176,17 +176,64 @@ def repack_tpu_to_ref(packed_tpu: np.ndarray) -> np.ndarray:
 # Whole-layer quantize helpers (produce in-memory param dicts)
 # ---------------------------------------------------------------------------
 
+def pad_int8_weight(q: jax.Array) -> jax.Array:
+    """Zero-pad an int8 (K, N) weight's K to the kernel-aligned storage size
+    (see int4_storage_k — same rule; zero rows are exact no-ops)."""
+    K = q.shape[0]
+    Ks = int4_storage_k(K)
+    if Ks == K:
+        return q
+    return jnp.pad(q, ((0, Ks - K), (0, 0)))
+
+
 def quantize_linear_int8(w_kn, bias=None) -> dict:
     q, scale = rtn_quantize_int8(w_kn)
-    p = {"weight": q, "weight_scale": scale}
+    p = {"weight": pad_int8_weight(q), "weight_scale": scale}
     if bias is not None:
         p["bias"] = bias
     return p
 
 
+def int4_storage_k(K: int) -> int:
+    """In-memory K for int4 linear weights.
+
+    The Pallas kernels tile K in multiples of 256 (scale-block sublane
+    alignment); a K with no such divisor ≤1024 (e.g. the ChatGLM2 inner dim
+    13696 = 128·107) is stored zero-padded to the next multiple of 512 —
+    Mosaic compiles overhanging partial blocks pathologically slowly
+    (measured ~10× compile time), and zero rows contribute nothing to the
+    matmul.  Activations are zero-padded to match at call time
+    (ops/linear.py); the loader strips the padding on save.
+    """
+    if K <= 512:
+        return K
+    d = 256
+    while d <= min(K, 1024):
+        if K % d == 0:
+            return K
+        d += 256
+    return ((K + 511) // 512) * 512
+
+
+def pad_packed_int4(packed: jax.Array, scale: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Pad a (K/2, N) packed + (K/32, N) scale pair to the storage K.
+
+    Padded nibbles are 0 (two's-complement zero) and padded scales 1.0, so
+    the padded rows dequantize to exactly 0.
+    """
+    K = packed.shape[0] * 2
+    Ks = int4_storage_k(K)
+    if Ks == K:
+        return packed, scale
+    packed = jnp.pad(packed, ((0, (Ks - K) // 2), (0, 0)))
+    scale = jnp.pad(scale, ((0, (Ks - K) // 32), (0, 0)), constant_values=1.0)
+    return packed, scale
+
+
 def quantize_linear_int4(w_kn, bias=None) -> dict:
     q, scale = rtn_quantize_int4(w_kn)
-    p = {"weight": pack_int4_tpu(q), "weight_scale": scale}
+    packed, scale = pad_packed_int4(pack_int4_tpu(q), scale)
+    p = {"weight": packed, "weight_scale": scale}
     if bias is not None:
         p["bias"] = bias
     return p

@@ -215,7 +215,7 @@ def gptq_linear_params_int8(w_kn, hessian, bias=None, blocksize=128, percdamp=0.
     int8/quantizer.py:151-164)."""
     grid, scale, _ = gptq_quantize_int8(w_kn.T, hessian, blocksize, percdamp)
     q = jnp.clip(jnp.round(grid / scale[:, None]), -127, 127).astype(jnp.int8)
-    p = {"weight": q.T, "weight_scale": scale}
+    p = {"weight": Q.pad_int8_weight(q.T), "weight_scale": scale}
     if bias is not None:
         p["bias"] = bias
     return p
@@ -228,7 +228,8 @@ def gptq_linear_params_int4(w_kn, hessian, bias=None, blocksize=128,
     grid, scales, _ = gptq_quantize_int4(w_kn.T, hessian, blocksize, groupsize, percdamp)
     # quantize_with_scale on the (K, N) transpose (int4/quantizer.py:193)
     qgrid = Q.quantize_with_scale_int4(grid.T, scales)
-    p = {"weight": Q.pack_int4_tpu(qgrid), "weight_scale": scales}
+    packed, scales = Q.pad_packed_int4(Q.pack_int4_tpu(qgrid), scales)
+    p = {"weight": packed, "weight_scale": scales}
     if bias is not None:
         p["bias"] = bias
     return p

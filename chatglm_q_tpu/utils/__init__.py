@@ -1,1 +1,1 @@
-from . import timing, profiling
+from . import timing, profiling, logging, distributed, debug, train

@@ -109,3 +109,38 @@ def test_tp_divisibility_guard():
                           num_layers=1, vocab_size=128)
     assert not S.tp_divisibility_ok(tiny, 4, "int4g32")  # 64/4=16 not group-aligned
     assert S.tp_divisibility_ok(tiny, 2, "int8")
+
+
+def test_engine_with_sharded_params():
+    """Continuous batching engine over tensor-sharded params must produce
+    the same greedy tokens as the unsharded engine."""
+    from chatglm_q_tpu.config import GLMLoadConfig
+    from chatglm_q_tpu.serving.engine import ServingEngine
+
+    quant_type = "int8"
+    params = M.init_params(jax.random.PRNGKey(7), CFG, quant_type, jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, quant_type=quant_type,
+                             torch_dtype="float32")
+    prompts = [[3, 17, 42], [7, 9, 11, 13]]
+
+    eng = ServingEngine(load_cfg, params, None, max_batch=2, max_seq_len=64,
+                        decode_chunk=4, rt=RT)
+    ref_out = eng.run(prompts, max_new_tokens=5, temperature=0.0)
+
+    mesh = S.make_mesh(1, 8)
+    sharded = S.shard_params(params, mesh, CFG, quant_type)
+    with mesh:
+        eng2 = ServingEngine(load_cfg, sharded, None, max_batch=2,
+                             max_seq_len=64, decode_chunk=4, rt=RT)
+        tp_out = eng2.run(prompts, max_new_tokens=5, temperature=0.0)
+    assert ref_out == tp_out
+
+
+def test_check_quant_params():
+    from chatglm_q_tpu.utils.debug import check_quant_params
+
+    params = M.init_params(jax.random.PRNGKey(8), CFG, "int4g32", jnp.float32)
+    assert check_quant_params(params, CFG, "int4g32") == []
+    bad = dict(params)
+    bad["lm_head"] = {k: v[: v.shape[0] // 2] for k, v in params["lm_head"].items()}
+    assert check_quant_params(bad, CFG, "int4g32")

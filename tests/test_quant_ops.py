@@ -142,3 +142,42 @@ def test_quantize_with_scale_matches_reference_grid():
     q4, s4 = Q.rtn_quantize_int4(w)
     g4 = Q.quantize_with_scale_int4(w, s4)
     np.testing.assert_array_equal(np.asarray(g4), np.asarray(q4))
+
+
+class TestStoragePadding:
+    """K dims with no aligned kernel divisor are stored zero-padded
+    (ops/quant.py int4_storage_k); results must be exact on the logical K."""
+
+    def test_storage_k_rule(self):
+        assert Q.int4_storage_k(64) == 64
+        assert Q.int4_storage_k(512) == 512
+        assert Q.int4_storage_k(4096) == 4096
+        assert Q.int4_storage_k(13696) == 13824  # ChatGLM2 inner dim
+        assert Q.int4_storage_k(1664) == 2048
+
+    def test_int4_padded_matmul_exact(self):
+        K, N = 1664, 128
+        w = rand((K, N), 20)
+        p = Q.quantize_linear_int4(w)
+        assert p["weight"].shape[0] * 2 == 2048
+        x = rand((4, K), 21)
+        y = quant_linear(x, p, "int4g32", RT_FALLBACK)
+        q, scale = Q.rtn_quantize_int4(w)
+        deq = Q.unpack_int4_tpu(Q.pack_int4_tpu(q), scale)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x @ deq), rtol=1e-4, atol=1e-4)
+        # gradient strips padding
+        gx = jax.grad(lambda x: quant_linear(x, p, "int4g32", RT_FALLBACK).sum())(x)
+        assert gx.shape == (4, K)
+
+    def test_int8_padded_matmul_exact(self):
+        K, N = 1664, 64
+        w = rand((K, N), 22)
+        p = Q.quantize_linear_int8(w)
+        assert p["weight"].shape[0] == 2048
+        x = rand((3, K), 23)
+        y = quant_linear(x, p, "int8", RT_FALLBACK)
+        q, scale = Q.rtn_quantize_int8(w)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ (q.astype(jnp.float32) * scale)),
+            rtol=1e-4, atol=1e-4,
+        )
