@@ -133,7 +133,11 @@ def main():
     cache_len = 1024
 
     config = ChatGLM2Config()  # full 6B hyperparams
-    rt = TpuRuntimeConfig()
+    # XLA attention for the headline run: at batch-1/1k-context the KV read
+    # (~60 MB vs ~4 GB of weights per token) is off the critical path, and
+    # the masked-softmax path compiles in seconds (the flash kernels are
+    # benchmarked separately in benchmarks/full_bench.py --flash)
+    rt = TpuRuntimeConfig(use_flash_attention=False)
     params = random_quantized_params(jax.random.PRNGKey(0), config, quant_type)
     wbytes = weight_bytes_per_token(params)
 
