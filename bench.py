@@ -58,6 +58,7 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
 
     def lin(k, n, bias):
         k = int4_storage_k(k)
+        n = int4_storage_k(n)  # no-op except the w_in halves (13696→13824)
         if quant_type == "int4g32":
             p = {
                 # random.bits: native uint8 generation, no int32 transients
@@ -76,6 +77,7 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
         return p
 
     def lin1(k, n):
+        k = int4_storage_k(k)
         if quant_type == "int4g32":
             return {
                 "weight": jax.random.bits(next(ks), (k // 2, n), jnp.uint8),
@@ -138,7 +140,12 @@ def main():
     # the masked-softmax path compiles in seconds (the flash kernels are
     # benchmarked separately in benchmarks/full_bench.py --flash)
     rt = TpuRuntimeConfig(use_flash_attention=False)
-    params = random_quantized_params(jax.random.PRNGKey(0), config, quant_type)
+    # generate inside ONE jit: eagerly dispatching ~60 RNG ops lets their
+    # transients pile up in flight and OOMs this backend; a single program
+    # lets XLA schedule and reuse the temp buffers
+    gen = jax.jit(lambda key: random_quantized_params(key, config, quant_type))
+    params = gen(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
     wbytes = weight_bytes_per_token(params)
 
     cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)

@@ -1,0 +1,116 @@
+"""On-device kernel validation: every Pallas kernel vs its jnp oracle,
+compiled on the real TPU (the CPU interpret-mode equivalents run in CI via
+tests/; this is the hardware counterpart — run manually or by the driver).
+
+One kernel per section, sequential, single process (this environment
+serializes TPU clients).  Prints one PASS/FAIL line per kernel and exits
+non-zero on any failure.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+
+from chatglm_q_tpu.ops import quant as Q
+from chatglm_q_tpu.ops import pallas_matmul as PM
+from chatglm_q_tpu.ops import pallas_attention as PA
+
+T0 = time.time()
+FAILED = []
+
+
+def check(name, got, want, rtol=2e-2, atol=2e-2):
+    ok = np.allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),
+                     rtol=rtol, atol=atol)
+    err = float(np.max(np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))))
+    print(f"[{time.time()-T0:6.1f}s] {'PASS' if ok else 'FAIL'} {name} (max err {err:.2e})",
+          flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    M_, K, N = 8, 4096, 4096
+    x = jax.random.normal(key, (M_, K), jnp.bfloat16)
+
+    # int8 fwd
+    w8 = jax.random.randint(jax.random.PRNGKey(1), (K, N), -127, 128, jnp.int8)
+    s8 = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (N,))) * 0.01
+    got = PM.int8_matmul_pallas(x, w8, s8)
+    want = (x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8))
+    check("int8_matmul", got, want, rtol=5e-2, atol=5e-1)
+
+    # int4 fwd (aligned K)
+    wf = jax.random.normal(jax.random.PRNGKey(3), (K, N)) * 0.1
+    q4, s4 = Q.rtn_quantize_int4(wf)
+    p4 = Q.pack_int4_tpu(q4)
+    got = PM.int4_matmul_pallas(x, p4, s4)
+    want = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4)
+    check("int4_matmul", got, want, rtol=5e-2, atol=5e-1)
+
+    # int4 fwd, padded awkward K (ChatGLM2 inner dim)
+    Kx = 13696
+    wfx = jax.random.normal(jax.random.PRNGKey(4), (Kx, 512)) * 0.1
+    px = Q.quantize_linear_int4(wfx)
+    xx = jax.random.normal(jax.random.PRNGKey(5), (8, Kx), jnp.bfloat16)
+    from chatglm_q_tpu.ops.linear import int4_matmul
+    got = int4_matmul((True, 128), xx, px["weight"], px["weight_scale"])
+    q4x, s4x = Q.rtn_quantize_int4(wfx)
+    want = xx.astype(jnp.float32) @ Q.unpack_int4_tpu(Q.pack_int4_tpu(q4x), s4x)
+    check("int4_matmul_paddedK", got, want, rtol=5e-2, atol=5e-1)
+
+    # transposed kernels
+    g = jax.random.normal(jax.random.PRNGKey(6), (8, N), jnp.bfloat16)
+    got = PM.int8_matmul_t_pallas(g, w8, s8)
+    want = g.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8).T
+    check("int8_matmul_t", got, want, rtol=5e-2, atol=5e-1)
+    got = PM.int4_matmul_t_pallas(g, p4, s4)
+    want = g.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4).T
+    check("int4_matmul_t", got, want, rtol=5e-2, atol=5e-1)
+
+    # flash decode attention
+    B, T, G_, Hg, D = 2, 1024, 2, 16, 128
+    qd = jax.random.normal(jax.random.PRNGKey(7), (B, G_, Hg, D), jnp.bfloat16)
+    kc = jax.random.normal(jax.random.PRNGKey(8), (B, T, G_, D), jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(9), (B, T, G_, D), jnp.bfloat16)
+    lengths = jnp.asarray([100, 1000], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    got = PA.flash_attention_decode(qd, kc, vc, lengths, sm)
+    s = jnp.einsum("bghd,btgd->bght", qd.astype(jnp.float32), kc.astype(jnp.float32)) * sm
+    m = jnp.arange(T)[None, :] <= lengths[:, None]
+    want = jnp.einsum("bght,btgd->bghd",
+                      jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), -1),
+                      vc.astype(jnp.float32))
+    check("flash_decode", got, want, rtol=5e-2, atol=5e-2)
+
+    # flash prefill attention
+    S = 512
+    qp = jax.random.normal(jax.random.PRNGKey(10), (1, S, G_, Hg, D), jnp.bfloat16)
+    kp = jax.random.normal(jax.random.PRNGKey(11), (1, S, G_, D), jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(12), (1, S, G_, D), jnp.bfloat16)
+    lengths = jnp.asarray([S], jnp.int32)
+    got = PA.flash_attention_prefill(qp, kp, vp, lengths, sm)
+    s = jnp.einsum("bsghd,btgd->bghst", qp.astype(jnp.float32), kp.astype(jnp.float32)) * sm
+    tq = jnp.arange(S)[:, None]
+    tk = jnp.arange(S)[None, :]
+    mm = (tk <= tq)
+    want = jnp.einsum("bghst,btgd->bsghd",
+                      jax.nn.softmax(jnp.where(mm[None, None, None], s, -1e30), -1),
+                      vp.astype(jnp.float32))
+    check("flash_prefill", got, want, rtol=5e-2, atol=5e-2)
+
+    print(f"[{time.time()-T0:6.1f}s] {'ALL PASS' if not FAILED else 'FAILURES: ' + ','.join(FAILED)}",
+          flush=True)
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,10 @@ def params_from_state_dict(
         q_proj, kv_proj = _split_cols(qkv, qs)
         w_in = _linear_from_sd(sd, f"layers.{i}.ffn.w_in", quant_type, dtype)
         w_in_h, w_in_gate = _split_cols(w_in, inner)
+        if quant_type != "none":
+            # N-pad to the w_out K storage (kernel alignment; exact no-op)
+            w_in_h = {k: np.asarray(v) for k, v in Q.pad_linear_n(w_in_h, quant_type).items()}
+            w_in_gate = {k: np.asarray(v) for k, v in Q.pad_linear_n(w_in_gate, quant_type).items()}
         return {
             "attn_ln": {"weight": sd.pop(f"layers.{i}.attn_ln.weight").astype(dtype)},
             "ffn_ln": {"weight": sd.pop(f"layers.{i}.ffn_ln.weight").astype(dtype)},
@@ -151,12 +155,21 @@ def params_from_state_dict(
     return jax.tree.map(jnp.asarray, params)
 
 
+def _slice_n(d: dict, n_logical: int, quant_type: str) -> dict:
+    """Strip the N storage padding from a linear param dict (save path)."""
+    return {
+        k: (v[..., :n_logical] if _n_axis(k, v) == v.ndim - 1 else v)
+        for k, v in d.items()
+    }
+
+
 def params_to_state_dict(params: dict, config: ChatGLM2Config, quant_type: str) -> dict:
     """Inverse of :func:`params_from_state_dict` (reference tensor names and
     layouts, numpy arrays)."""
     p = jax.tree.map(np.asarray, params)
     sd = {}
     qs = config.q_size
+    I2 = config.inner_hidden_size
 
     def put_linear(prefix, d, k_logical):
         # strip the kernel-alignment K padding (storage-only, ops/quant.py)
@@ -189,7 +202,9 @@ def params_to_state_dict(params: dict, config: ChatGLM2Config, quant_type: str) 
                    merge_cols(li["q_proj"], li["kv_proj"]), config.hidden_size)
         put_linear(f"layers.{i}.attn.o_proj", li["o_proj"], qs)
         put_linear(f"layers.{i}.ffn.w_in",
-                   merge_cols(li["w_in_h"], li["w_in_gate"]), config.hidden_size)
+                   merge_cols(_slice_n(li["w_in_h"], I2, quant_type),
+                              _slice_n(li["w_in_gate"], I2, quant_type)),
+                   config.hidden_size)
         put_linear(f"layers.{i}.ffn.w_out", li["w_out"], config.inner_hidden_size)
 
     sd["final_ln.weight"] = p["final_ln"]["weight"]

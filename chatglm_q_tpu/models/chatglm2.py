@@ -504,14 +504,19 @@ def init_params(
             lambda r: _init_linear(r, k, n, bias, quant_type, dtype)
         )(rngs)
 
+    def pad_n(p):
+        if quant_type == "none":
+            return p
+        return jax.vmap(lambda q: Q.pad_linear_n(q, quant_type))(p)
+
     layers = {
         "attn_ln": {"weight": jnp.ones((L, H), dtype)},
         "q_proj": stacked_linear(keys[1], H, config.q_size, True),
         "kv_proj": stacked_linear(keys[2], H, 2 * config.kv_size, True),
         "o_proj": stacked_linear(keys[3], config.q_size, H, False),
         "ffn_ln": {"weight": jnp.ones((L, H), dtype)},
-        "w_in_h": stacked_linear(keys[4], H, I, False),
-        "w_in_gate": stacked_linear(keys[5], H, I, False),
+        "w_in_h": pad_n(stacked_linear(keys[4], H, I, False)),
+        "w_in_gate": pad_n(stacked_linear(keys[5], H, I, False)),
         "w_out": stacked_linear(keys[6], I, H, False),
     }
 

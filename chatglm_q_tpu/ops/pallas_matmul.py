@@ -141,7 +141,7 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total)
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=512, interpret=None):
+def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=1024, interpret=None):
     """x (M, K) float @ (w (K, N) int8 ⊙ scale (N,)) → (M, N)."""
     if interpret is None:
         interpret = not _is_tpu()
@@ -197,7 +197,7 @@ def _pick_int4_bk(K: int, bk_cap: int):
     return None
 
 
-def int4_matmul_pallas(x, packed, scale, *, bk_cap=1024, bn_cap=512, interpret=None):
+def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=1024, interpret=None):
     """x (M, K) @ dequant(packed (K/2, N) u8 nibble-pairs, scale (K/32, N))."""
     if interpret is None:
         interpret = not _is_tpu()

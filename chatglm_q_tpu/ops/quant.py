@@ -186,6 +186,34 @@ def pad_int8_weight(q: jax.Array) -> jax.Array:
     return jnp.pad(q, ((0, Ks - K), (0, 0)))
 
 
+def pad_linear_n(p: dict, quant_type: str) -> dict:
+    """Zero-pad a quantized linear param dict's output (N) dimension to the
+    kernel-aligned storage size (same rule as K: int4_storage_k).
+
+    Only valid where the consumer tolerates extra zero outputs — used for
+    the ffn w_in_h / w_in_gate pair, whose padded columns produce
+    silu(0)*0 = 0 activations that flow into the (equally padded) w_out K
+    rows and contribute exactly nothing.  Padded int4 scale columns are 1.0,
+    padded int8 scale entries 1.0, padded bias entries 0.
+    """
+    w = p["weight"]
+    N = w.shape[-1]
+    Ns = int4_storage_k(N)
+    if Ns == N:
+        return p
+    pad = Ns - N
+    out = {"weight": jnp.pad(w, ((0, 0), (0, pad)))}
+    if "weight_scale" in p:
+        sc = p["weight_scale"]
+        if sc.ndim == 1:  # int8 (N,)
+            out["weight_scale"] = jnp.pad(sc, (0, pad), constant_values=1.0)
+        else:             # int4 (G, N)
+            out["weight_scale"] = jnp.pad(sc, ((0, 0), (0, pad)), constant_values=1.0)
+    if "bias" in p:
+        out["bias"] = jnp.pad(p["bias"], (0, pad))
+    return out
+
+
 def quantize_linear_int8(w_kn, bias=None) -> dict:
     q, scale = rtn_quantize_int8(w_kn)
     p = {"weight": pad_int8_weight(q), "weight_scale": scale}

@@ -75,12 +75,22 @@ def gptq_quantize_model(
             {"h": h, "freqs": table[pos], "mask5": mask_bias[:, None, None, :, :]}
         )
 
-    def quant_params(w_kn, hessian, bias):
+    def quant_params(w_kn, hessian, bias, pad_n=False):
+        Kh = hessian.shape[0]
+        if w_kn.shape[0] < Kh:
+            # upstream activations are storage-K padded (w_in N padding);
+            # pad the float weight rows — GPTQ's dead-column handling zeroes
+            # them and they quantize to exact 0
+            w_kn = jnp.pad(w_kn, ((0, Kh - w_kn.shape[0]), (0, 0)))
         if quant_type == "int8":
-            return G.gptq_linear_params_int8(w_kn, hessian, bias, blocksize, percdamp)
-        return G.gptq_linear_params_int4(
-            w_kn, hessian, bias, blocksize, groupsize, percdamp
-        )
+            p = G.gptq_linear_params_int8(w_kn, hessian, bias, blocksize, percdamp)
+        else:
+            p = G.gptq_linear_params_int4(
+                w_kn, hessian, bias, blocksize, groupsize, percdamp
+            )
+        if pad_n:
+            p = Q.pad_linear_n(p, quant_type)
+        return p
 
     tap_block = jax.jit(
         lambda lp, h, f, m: M.block_forward(
@@ -117,10 +127,12 @@ def gptq_quantize_model(
                 lp["o_proj"]["weight"], hes["o_in"][0], lp["o_proj"].get("bias")
             ),
             "w_in_h": quant_params(
-                lp["w_in_h"]["weight"], hes["w_in_in"][0], lp["w_in_h"].get("bias")
+                lp["w_in_h"]["weight"], hes["w_in_in"][0], lp["w_in_h"].get("bias"),
+                pad_n=True,
             ),
             "w_in_gate": quant_params(
-                lp["w_in_gate"]["weight"], hes["w_in_in"][0], lp["w_in_gate"].get("bias")
+                lp["w_in_gate"]["weight"], hes["w_in_in"][0],
+                lp["w_in_gate"].get("bias"), pad_n=True,
             ),
             "w_out": quant_params(
                 lp["w_out"]["weight"], hes["w_out_in"][0], lp["w_out"].get("bias")

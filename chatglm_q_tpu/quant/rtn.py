@@ -43,7 +43,11 @@ def rtn_quantize_model(
     )
     layers = dict(params["layers"])
     for k in _LINEAR_KEYS:
-        layers[k] = _quantize_linear(params["layers"][k], quant_type, stacked=True)
+        q = _quantize_linear(params["layers"][k], quant_type, stacked=True)
+        if k in ("w_in_h", "w_in_gate"):
+            # N-pad to match w_out's K storage (zero columns are exact no-ops)
+            q = jax.vmap(lambda p: Q.pad_linear_n(p, quant_type))(q)
+        layers[k] = q
     return {
         "word_embedding": emb_fn(params["word_embedding"]["weight"].astype(jnp.float32)),
         "layers": layers,

@@ -66,8 +66,8 @@ def check_quant_params(params: dict, config, quant_type: str) -> list[str]:
     check_linear("q_proj", lyr["q_proj"], H, qs, True)
     check_linear("kv_proj", lyr["kv_proj"], H, 2 * kv, True)
     check_linear("o_proj", lyr["o_proj"], qs, H, True)
-    check_linear("w_in_h", lyr["w_in_h"], H, I, True)
-    check_linear("w_in_gate", lyr["w_in_gate"], H, I, True)
+    check_linear("w_in_h", lyr["w_in_h"], H, int4_storage_k(I), True)
+    check_linear("w_in_gate", lyr["w_in_gate"], H, int4_storage_k(I), True)
     check_linear("w_out", lyr["w_out"], I, H, True)
     check_linear("lm_head", params["lm_head"], H, V, False)
     return problems

@@ -26,7 +26,8 @@ from examples.evaluations.data import load_calibration_texts
 
 config, params, tokenizer = load_model_and_tokenizer(args.model, args.dtype)
 mc = config.model_config
-dtype = __import__("jax.numpy", fromlist=["x"]).__dict__[args.dtype] if args.dtype else config.activation_dtype
+from chatglm_q_tpu.config import dtype_from_name
+dtype = dtype_from_name(args.dtype) if args.dtype else config.activation_dtype
 
 texts = load_calibration_texts(
     calib_file=args.calib_file, ceval_dir=args.ceval_dir, num_prompts=10**9
