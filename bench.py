@@ -120,6 +120,15 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
     }
 
 
+def make_params(config: ChatGLM2Config, quant_type: str, seed: int = 0):
+    """Generate random params under ONE jit (eager generation lets dozens of
+    RNG transients pile up in flight and OOMs this backend)."""
+    gen = jax.jit(lambda key: random_quantized_params(key, config, quant_type))
+    params = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(params)
+    return params
+
+
 def weight_bytes_per_token(params) -> int:
     """HBM bytes every decode step must stream: all layer + lm_head weights."""
     total = 0
@@ -143,9 +152,7 @@ def main():
     # generate inside ONE jit: eagerly dispatching ~60 RNG ops lets their
     # transients pile up in flight and OOMs this backend; a single program
     # lets XLA schedule and reuse the temp buffers
-    gen = jax.jit(lambda key: random_quantized_params(key, config, quant_type))
-    params = gen(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    params = make_params(config, quant_type)
     wbytes = weight_bytes_per_token(params)
 
     cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)

@@ -25,7 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import random_quantized_params, weight_bytes_per_token, HBM_GBPS
+from bench import make_params, weight_bytes_per_token, HBM_GBPS
 from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
 from chatglm_q_tpu.models import chatglm2 as M
 from chatglm_q_tpu.utils.timing import force, slope_time
@@ -57,8 +57,11 @@ def bench_prefill(config, params, quant_type, batch, seq, rt):
     @partial(jax.jit, static_argnames="reps")
     def prefill_n(p, ids, l, reps):
         def body(acc, _):
+            # make the input depend on the carry so XLA cannot CSE the scan
+            # body into a single prefill (observed: identical bodies fold)
+            ids2 = ids + (acc.astype(jnp.int32) & 1)
             cache = M.init_kv_cache(config, batch, seq, jnp.bfloat16)
-            logits, _ = M.prefill(p, config, ids, l, cache, quant_type, jnp.bfloat16, rt)
+            logits, _ = M.prefill(p, config, ids2, l, cache, quant_type, jnp.bfloat16, rt)
             return acc + logits.sum(), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
@@ -81,7 +84,7 @@ def main():
     rt = TpuRuntimeConfig(use_flash_attention=args.flash or None)
 
     for quant in args.quants.split(","):
-        params = random_quantized_params(jax.random.PRNGKey(0), config, quant)
+        params = make_params(config, quant)
         wbytes = weight_bytes_per_token(params)
         sol = HBM_GBPS * 1e9 / wbytes
         for b in map(int, args.batches.split(",")):
