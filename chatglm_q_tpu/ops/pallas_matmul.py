@@ -47,6 +47,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os
+
+# perf-attribution switch (NOT for production): skip the int4 group-scale
+# multiply to measure its share of the dequant cost.  Numerics are wrong
+# while set.
+_PERF_DEBUG_NOSCALE = os.environ.get("CHATGLM_Q_TPU_INT4_NOSCALE") == "1"
+
+# block-size tuning overrides (sweeps; defaults chosen from measurements)
+_BK_CAP = int(os.environ.get("CHATGLM_Q_TPU_BK_CAP", "0")) or None
+_BN_CAP = int(os.environ.get("CHATGLM_Q_TPU_BN_CAP", "0")) or None
+
+
 def _is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -124,8 +136,9 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total)
     bk, bn = q.shape
     gb = bk // 32
     w = q.astype(x_ref.dtype)
-    s = s_ref[...].astype(x_ref.dtype)                    # (gb, bn)
-    w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
+    if not _PERF_DEBUG_NOSCALE:
+        s = s_ref[...].astype(x_ref.dtype)                # (gb, bn)
+        w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
     if k_total % bk:
         # the final K block overhangs the array; its out-of-bounds rows read
         # garbage — zero them so they contribute nothing to the dot (the
@@ -141,7 +154,7 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total)
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=1024, interpret=None):
+def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, interpret=None):
     """x (M, K) float @ (w (K, N) int8 ⊙ scale (N,)) → (M, N)."""
     if interpret is None:
         interpret = not _is_tpu()
@@ -197,8 +210,10 @@ def _pick_int4_bk(K: int, bk_cap: int):
     return None
 
 
-def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=1024, interpret=None):
+def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048, interpret=None):
     """x (M, K) @ dequant(packed (K/2, N) u8 nibble-pairs, scale (K/32, N))."""
+    bk_cap = _BK_CAP or bk_cap
+    bn_cap = _BN_CAP or bn_cap
     if interpret is None:
         interpret = not _is_tpu()
     M, K = x.shape
