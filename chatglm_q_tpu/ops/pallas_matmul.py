@@ -57,6 +57,10 @@ _PERF_DEBUG_NOSCALE = os.environ.get("CHATGLM_Q_TPU_INT4_NOSCALE") == "1"
 # block-size tuning overrides (sweeps; defaults chosen from measurements)
 _BK_CAP = int(os.environ.get("CHATGLM_Q_TPU_BK_CAP", "0")) or None
 _BN_CAP = int(os.environ.get("CHATGLM_Q_TPU_BN_CAP", "0")) or None
+# optional per-kernel VMEM budget override (sweeps only; measured: raising
+# it to 96 MB made decode slightly SLOWER - the compiler's default budget
+# schedules better)
+_VMEM_LIMIT = int(os.environ.get("CHATGLM_Q_TPU_VMEM_LIMIT", "0")) or None
 
 
 def _is_tpu() -> bool:
@@ -243,6 +247,7 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048, interpret=
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": _VMEM_LIMIT} if _VMEM_LIMIT else {}),
         ),
         interpret=interpret,
     )(xp, packed, scale)
