@@ -109,7 +109,7 @@ def int4_matmul(flags, x, packed, scale):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
-        return PM.int4_matmul_pallas(xp, packed, scale)
+        return PM.int4_matmul_auto(xp, packed, scale)
     return _int4_matmul_fallback(xp, packed, scale)
 
 

@@ -370,3 +370,111 @@ def int4_matmul_t_pallas(g, packed, scale, *, bk_cap=512, bn_cap=2048, interpret
         interpret=interpret,
     )(gp, packed, scale)
     return out[:M]
+
+
+# ---------------------------------------------------------------------------
+# Decode-optimized pipelined int4 kernel: one program per N tile, in-kernel
+# K loop with explicit double-buffered DMA so weight streaming overlaps the
+# VPU dequant (measured: the grid-stepped kernel runs DMA and dequant
+# serially — utils analysis in docs/RESULTS.md)
+# ---------------------------------------------------------------------------
+
+_CK = 2048  # K rows per pipelined chunk (packed rows _CK // 2)
+
+
+def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems,
+                           *, k_total, bn):
+    n = pl.program_id(0)
+    num_chunks = k_total // _CK
+
+    def get_dmas(slot, ck):
+        rows = pl.ds(ck * (_CK // 2), _CK // 2)
+        grows = pl.ds(ck * (_CK // 32), _CK // 32)
+        cols = pl.ds(n * bn, bn)
+        return (
+            pltpu.make_async_copy(p_hbm.at[rows, cols], pbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(s_hbm.at[grows, cols], sbuf.at[slot], sems.at[slot, 1]),
+        )
+
+    for d in get_dmas(0, 0):
+        d.start()
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(ck, _):
+        slot = jax.lax.rem(ck, 2)
+        nxt = jax.lax.rem(ck + 1, 2)
+
+        @pl.when(ck + 1 < num_chunks)
+        def _():
+            for d in get_dmas(nxt, ck + 1):
+                d.start()
+
+        for d in get_dmas(slot, ck):
+            d.wait()
+
+        q = pltpu.bitcast(pbuf[slot], jnp.int4)            # (_CK, bn)
+        w = q.astype(x_ref.dtype)
+        s = sbuf[slot].astype(x_ref.dtype)                 # (_CK//32, bn)
+        w = (w.reshape(_CK // 32, 32, bn) * s[:, None, :]).reshape(_CK, bn)
+        xk = x_ref[:, pl.ds(ck * _CK, _CK)]
+        acc_ref[...] += jnp.dot(xk, w, preferred_element_type=jnp.float32)
+        return ()
+
+    jax.lax.fori_loop(0, num_chunks, body, ())
+    o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024, interpret=None):
+    """Decode-path int4 dequant matmul with explicit DMA/compute overlap.
+
+    Requirements: K a multiple of 2048 (guaranteed for quantized linears by
+    int4_storage_k padding when K > 512), M ≤ 64.  Returns None when the
+    shape is unsupported (caller falls back to the grid kernel).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K = x.shape
+    K2, N = packed.shape
+    if K != 2 * K2 or K % _CK or M > 64:
+        return None
+    bn = _largest_divisor(N, 256, bn_cap) or _largest_divisor(N, 128, bn_cap)
+    if bn is None:
+        return None
+    bm = _block_m(M)
+    xp = _pad_rows(x, bm)
+    Mp = xp.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_int4_pipelined_kernel, k_total=K, bn=bn),
+        grid=(N // bn,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, _CK // 2, bn), jnp.uint8),
+            pltpu.VMEM((2, _CK // 32, bn), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xp, packed, scale)
+    return out[:M]
+
+
+_NO_PIPELINE = os.environ.get("CHATGLM_Q_TPU_NO_PIPELINE") == "1"
+
+
+def int4_matmul_auto(x, packed, scale, *, interpret=None):
+    """Dispatch: pipelined decode kernel when applicable, grid kernel else."""
+    if not _NO_PIPELINE:
+        out = int4_matmul_pallas_pipelined(x, packed, scale, interpret=interpret)
+        if out is not None:
+            return out
+    return int4_matmul_pallas(x, packed, scale, interpret=interpret)

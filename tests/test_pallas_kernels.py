@@ -104,3 +104,24 @@ def test_fallback_for_odd_shapes():
     out = PM.int8_matmul_pallas(x, w, s, interpret=INTERPRET)
     ref = x @ (w.astype(jnp.float32) * s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_int4_pipelined_kernel_matches_oracle():
+    """Decode-path double-buffered-DMA kernel vs the jnp oracle."""
+    K, N = 4096, 1024
+    x = rand((8, K), 30)
+    p, s = make_int4(K, N, 31)
+    out = PM.int4_matmul_pallas_pipelined(x, p, s, interpret=INTERPRET)
+    assert out is not None
+    ref = x @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_int4_auto_dispatch():
+    # small K → pipelined unsupported → grid/whole-K fallback still correct
+    K, N = 256, 256
+    x = rand((4, K), 32)
+    p, s = make_int4(K, N, 33)
+    out = PM.int4_matmul_auto(x, p, s, interpret=INTERPRET)
+    ref = x @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
