@@ -1,0 +1,70 @@
+"""End-to-end continuous-batching engine throughput on the real chip.
+
+Submits many synthetic requests (token ids; tokenizer-independent), runs
+the engine to completion, reports aggregate generated tokens/s including
+prefill admission, chunked decode, retirement and Python scheduling.
+"""
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import numpy as np
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import make_params
+from chatglm_q_tpu.config import ChatGLM2Config, GLMLoadConfig, TpuRuntimeConfig
+from chatglm_q_tpu.serving.engine import ServingEngine
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--decode-chunk", type=int, default=16)
+    ap.add_argument("--max-seq", type=int, default=512)
+    args = ap.parse_args()
+
+    mc = ChatGLM2Config()
+    cfg = GLMLoadConfig(model_config=mc, quant_type="int4g32", torch_dtype="bfloat16")
+    params = make_params(mc, "int4g32")
+    rt = TpuRuntimeConfig(use_flash_attention=False)
+
+    eng = ServingEngine(cfg, params, tokenizer=None, max_batch=args.max_batch,
+                        max_seq_len=args.max_seq, decode_chunk=args.decode_chunk,
+                        rt=rt)
+    rng = np.random.default_rng(0)
+    for i in range(args.requests):
+        ids = rng.integers(0, 60000, args.prompt_len).tolist()
+        eng.submit(ids, max_new_tokens=args.new_tokens, temperature=0.0)
+
+    # warmup: one step compiles prefill bucket + decode chunk
+    t0 = time.perf_counter()
+    eng.step()
+    warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    while eng.has_work:
+        eng.step()
+    wall = time.perf_counter() - t0
+    gen = sum(len(r.generated) for r in eng.finished)
+    print(json.dumps({
+        "bench": "engine", "quant": "int4g32",
+        "requests": args.requests, "max_batch": args.max_batch,
+        "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
+        "generated_tokens": gen,
+        "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
+        "agg_tokens_per_sec": round(gen / wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
