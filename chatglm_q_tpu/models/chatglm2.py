@@ -110,6 +110,11 @@ def init_kv_cache(
     config: ChatGLM2Config, batch_size: int, max_length: Optional[int] = None,
     dtype=jnp.bfloat16,
 ) -> KVCache:
+    """dtype may be a reduced-precision storage type (jnp.float8_e4m3fn
+    halves KV memory/bandwidth vs bf16 — useful at long context / large
+    batch; K/V are cast on write and upcast to the activation dtype at
+    attention time).  The reference has no KV-cache compression (its cache
+    is the activation dtype, model.py:151-155)."""
     L = config.num_layers
     G = config.num_multi_query_groups
     D = config.head_hidden_size
@@ -184,9 +189,12 @@ def block_forward(
         k_full, v_full = k, v
     else:
         cache_k, cache_v, start = kv_write
-        # scatter the S new positions at per-row offsets
+        # scatter the S new positions at per-row offsets (cast supports
+        # reduced-precision KV caches, e.g. float8 - see init_kv_cache)
         def upd(cache, new, s0):
-            return jax.lax.dynamic_update_slice(cache, new, (s0, 0, 0))
+            return jax.lax.dynamic_update_slice(
+                cache, new.astype(cache.dtype), (s0, 0, 0)
+            )
         k_full = jax.vmap(upd)(cache_k, k, start)
         v_full = jax.vmap(upd)(cache_v, v, start)
 

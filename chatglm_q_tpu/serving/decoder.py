@@ -48,6 +48,7 @@ class GLMDecoder:
         time_log: bool = False,
         rt: TpuRuntimeConfig = _DEFAULT_RT,
         dtype=None,
+        kv_dtype=None,
     ):
         self.config = config
         self.params = params
@@ -57,6 +58,7 @@ class GLMDecoder:
         self.time_log = time_log
         self.rt = rt
         self.dtype = dtype or config.activation_dtype
+        self.kv_dtype = kv_dtype or self.dtype
         qt = config.quant_type
         mc = config.model_config
 
@@ -115,7 +117,7 @@ class GLMDecoder:
         prompt = np.zeros((1, bucket), np.int32)
         prompt[0, : len(prefix_ids)] = prefix_ids
         cache = M.init_kv_cache(
-            self.config.model_config, 1, self.max_sequence_length, self.dtype
+            self.config.model_config, 1, self.max_sequence_length, self.kv_dtype
         )
 
         generated: list[int] = []

@@ -69,6 +69,7 @@ class ServingEngine:
         decode_chunk: int = 16,
         rt: TpuRuntimeConfig = _DEFAULT_RT,
         dtype=None,
+        kv_dtype=None,
         seed: int = 0,
     ):
         self.config = config
@@ -82,7 +83,8 @@ class ServingEngine:
         self.chunk = decode_chunk
         self.eos_token_id = tokenizer["</s>"] if tokenizer is not None else 2
 
-        self.cache = M.init_kv_cache(self.mc, max_batch, self.max_seq_len, self.dtype)
+        self.kv_dtype = kv_dtype or self.dtype
+        self.cache = M.init_kv_cache(self.mc, max_batch, self.max_seq_len, self.kv_dtype)
         self.slots = [_Slot() for _ in range(max_batch)]
         self.queue: list[Request] = []
         self.finished: list[Request] = []
@@ -96,7 +98,7 @@ class ServingEngine:
         @partial(jax.jit, static_argnames=("bucket",), donate_argnums=(1,))
         def _prefill_into_slot(params, cache, ids_1xS, length, slot, bucket):
             # prefill a batch-1 temp cache, then scatter into the big cache
-            tmp = M.init_kv_cache(self.mc, 1, self.max_seq_len, self.dtype)
+            tmp = M.init_kv_cache(self.mc, 1, self.max_seq_len, self.kv_dtype)
             logits, tmp = M.prefill(
                 params, self.mc, ids_1xS, length[None], tmp, qt, self.dtype, self.rt
             )

@@ -104,3 +104,30 @@ def test_flash_prefill_long_context_no_quadratic_mask():
     logits, cache = M.prefill(params, cfg, ids, jnp.asarray([S], jnp.int32),
                               cache, "none", jnp.float32, RT_FLASH)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_fp8_kv_cache_close_to_bf16():
+    """float8 KV cache storage: serving outputs stay close to full-precision
+    (greedy tokens may differ on near-ties; logits must stay close)."""
+    params = M.init_params(jax.random.PRNGKey(0), CFG, "none", jnp.float32)
+    ids = jnp.asarray([[3, 17, 42, 99, 5]])
+    lengths = jnp.asarray([5], jnp.int32)
+
+    def run(kv_dtype):
+        cache = M.init_kv_cache(CFG, 1, 16, kv_dtype)
+        logits, cache = M.prefill(params, CFG, ids, lengths, cache,
+                                  "none", jnp.float32, RT_XLA)
+        out = [logits]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(2):
+            logits, cache = M.decode_step(params, CFG, tok, cache,
+                                          "none", jnp.float32, RT_XLA)
+            out.append(logits)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return out
+
+    ref = run(jnp.float32)
+    fp8 = run(jnp.float8_e4m3fn)
+    for a, b in zip(ref, fp8):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-6))
+        assert rel < 0.15, rel
