@@ -113,6 +113,8 @@ class ServingEngine:
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
         def _decode_chunk(params, cache, first_tok, rng, active, sampling, n):
+            # per-slot sampling params (B,) — requests with different
+            # temperature/top_p coexist in one chunk
             temperature, top_p = sampling
 
             def step(carry, rng_step):
@@ -120,7 +122,10 @@ class ServingEngine:
                 logits, cache = M.decode_step(
                     params, self.mc, tok, cache, qt, self.dtype, self.rt
                 )
-                sampled = top_p_sampling(rng_step, logits, 100, top_p, temperature)
+                safe_t = jnp.where(temperature > 0, temperature, 1.0)
+                sampled = top_p_sampling(
+                    rng_step, logits, 100, top_p[:, None], safe_t[:, None]
+                )
                 greedy = greedy_sampling(logits)
                 nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
                 return (nxt, cache), nxt
@@ -214,10 +219,14 @@ class ServingEngine:
         n = max(1, min(self.chunk, min(
             s.budget for s in self.slots if s.request is not None
         )))
-        # one sampling config per chunk: use the first active request's
-        # (requests with distinct sampling settings still work — their
-        # tokens are sampled with the chunk's shared temperature/top_p)
-        first_req = next(s.request for s in self.slots if s.request)
+        temps = np.array(
+            [s.request.temperature if s.request else 0.0 for s in self.slots],
+            np.float32,
+        )
+        tops = np.array(
+            [s.request.top_p if s.request else 1.0 for s in self.slots],
+            np.float32,
+        )
         self._rng, sub = jax.random.split(self._rng)
         toks, self.cache = self._decode_chunk(
             self.params,
@@ -225,7 +234,7 @@ class ServingEngine:
             jnp.asarray(self._last_tok),
             sub,
             jnp.asarray(active_mask),
-            (jnp.float32(first_req.temperature), jnp.float32(first_req.top_p)),
+            (jnp.asarray(temps), jnp.asarray(tops)),
             n,
         )
         toks = np.asarray(toks)  # (B, n)

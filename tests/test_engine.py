@@ -103,3 +103,21 @@ def test_max_new_tokens_respected(engine_parts):
     while eng.has_work:
         eng.step()
     assert len(eng.finished[0].generated) <= 3
+
+
+def test_mixed_sampling_params_per_slot(engine_parts):
+    """A greedy request and a high-temperature request in the same chunk:
+    the greedy slot must still match the batch-1 greedy reference."""
+    eng = make_engine(engine_parts, max_batch=2)
+    greedy_prompt = [3, 17, 42]
+    rid_greedy = eng.submit(greedy_prompt, max_new_tokens=5, temperature=0.0)
+    rid_hot = eng.submit([7, 9, 11], max_new_tokens=5, temperature=1.5, top_p=0.95)
+    while eng.has_work:
+        eng.step()
+    ref = greedy_reference(engine_parts[1], greedy_prompt, 5)
+    if ref and ref[-1] == 2:
+        ref = ref[:-1]
+    got = next(r.generated for r in eng.finished if r.req_id == rid_greedy)
+    assert got == ref
+    hot = next(r.generated for r in eng.finished if r.req_id == rid_hot)
+    assert len(hot) >= 1
