@@ -192,9 +192,9 @@ def block_forward(
         # scatter the S new positions at per-row offsets (cast supports
         # reduced-precision KV caches, e.g. float8 - see init_kv_cache)
         def upd(cache, new, s0):
-            return jax.lax.dynamic_update_slice(
-                cache, new.astype(cache.dtype), (s0, 0, 0)
-            )
+            if new.dtype != cache.dtype:  # trace-time: no-op cast would
+                new = new.astype(cache.dtype)  # needlessly change the jaxpr
+            return jax.lax.dynamic_update_slice(cache, new, (s0, 0, 0))
         k_full = jax.vmap(upd)(cache_k, k, start)
         v_full = jax.vmap(upd)(cache_v, v, start)
 
