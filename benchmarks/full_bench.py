@@ -78,10 +78,13 @@ def main():
     ap.add_argument("--cache-len", type=int, default=1024)
     ap.add_argument("--prefill-len", type=int, default=512)
     ap.add_argument("--flash", action="store_true", help="enable flash-attention kernels")
+    ap.add_argument("--dyn-int8", action="store_true",
+                    help="dynamic activation quantization for int8 layers")
     args = ap.parse_args()
 
     config = ChatGLM2Config()
-    rt = TpuRuntimeConfig(use_flash_attention=args.flash or None)
+    rt = TpuRuntimeConfig(use_flash_attention=args.flash or None,
+                          dynamic_int8=args.dyn_int8)
 
     for quant in args.quants.split(","):
         params = make_params(config, quant)

@@ -116,6 +116,12 @@ class TpuRuntimeConfig:
     # so multi-chip attention uses the XLA path until the kernels are
     # shard_map-wrapped).
     use_flash_attention: Optional[bool] = None
+    # Dynamic activation quantization for int8 layers: per-row int8
+    # activations + s8×s8 MXU dots with both scales applied to the int32
+    # accumulator (the reference's ONNX DynamicQuantizeLinear semantics,
+    # int8/qlinear.py:54-70).  ~0.3-1% activation quantization error —
+    # a different numerics mode, so opt-in.
+    dynamic_int8: bool = False
     # Matmul M-dimension at or below which the fused (bandwidth-bound) decode
     # kernels are used; above it, prefill-style dequant-then-matmul is used.
     decode_m_threshold: int = 128

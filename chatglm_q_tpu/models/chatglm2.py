@@ -189,14 +189,26 @@ def block_forward(
         k_full, v_full = k, v
     else:
         cache_k, cache_v, start = kv_write
-        # scatter the S new positions at per-row offsets (cast supports
-        # reduced-precision KV caches, e.g. float8 - see init_kv_cache)
-        def upd(cache, new, s0):
-            if new.dtype != cache.dtype:  # trace-time: no-op cast would
-                new = new.astype(cache.dtype)  # needlessly change the jaxpr
-            return jax.lax.dynamic_update_slice(cache, new, (s0, 0, 0))
-        k_full = jax.vmap(upd)(cache_k, k, start)
-        v_full = jax.vmap(upd)(cache_v, v, start)
+        # per-row offset writes.  NOTE: vmap(dynamic_update_slice) lowers to
+        # a scatter; for small batches an unrolled per-row
+        # dynamic-update-slice (natively supported, no scatter) is much
+        # cheaper.  Casts support reduced-precision KV caches (float8).
+        def upd_all(cache, new, start):
+            if new.dtype != cache.dtype:  # trace-time: avoid no-op casts
+                new = new.astype(cache.dtype)
+            Bc = cache.shape[0]
+            if Bc <= 8:
+                for b in range(Bc):
+                    cache = jax.lax.dynamic_update_slice(
+                        cache, new[b : b + 1], (b, start[b], 0, 0)
+                    )
+                return cache
+            return jax.vmap(
+                lambda c, n, s0: jax.lax.dynamic_update_slice(c, n, (s0, 0, 0))
+            )(cache, new, start)
+
+        k_full = upd_all(cache_k, k, start)
+        v_full = upd_all(cache_v, v, start)
 
     if isinstance(mask_bias, tuple):
         # serving fast path: Pallas flash/ragged attention, mask from lengths

@@ -30,8 +30,11 @@ def _float0_zeros(x):
 
 
 def _use_pallas(flags) -> bool:
-    use_pallas, _ = flags
-    return use_pallas
+    return flags[0]
+
+
+def _dynamic_int8(flags) -> bool:
+    return len(flags) > 2 and flags[2]
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +63,10 @@ def int8_matmul(flags, x, w, scale):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
+        if _dynamic_int8(flags):
+            out = PM.int8_dyn_matmul_pallas(x, w, scale)
+            if out is not None:
+                return out
         return PM.int8_matmul_pallas(x, w, scale)
     return _int8_matmul_fallback(x, w, scale)
 
@@ -162,7 +169,7 @@ def quant_linear(
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    flags = (rt.pallas_enabled(), rt.decode_m_threshold)
+    flags = (rt.pallas_enabled(), rt.decode_m_threshold, rt.dynamic_int8)
 
     if quant_type == "none":
         y = x2 @ params["weight"].astype(x.dtype)

@@ -478,3 +478,76 @@ def int4_matmul_auto(x, packed, scale, *, interpret=None):
         if out is not None:
             return out
     return int4_matmul_pallas(x, packed, scale, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-activation int8 kernel: s8×s8 MXU dots with int32 accumulation.
+# The per-row activation scale and per-column weight scale both commute with
+# the K reduction, so NO per-element dequant work remains in the kernel —
+# the reference's ONNX-export semantics (DynamicQuantizeLinear +
+# MatMulInteger + Cast + Mul, int8/qlinear.py:54-70) as a TPU fast path.
+# ---------------------------------------------------------------------------
+
+def _int8_dyn_kernel(xq_ref, xs_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        xq_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * xs_ref[...] * s_ref[...]
+        ).astype(o_ref.dtype)
+
+
+def int8_dyn_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, interpret=None):
+    """Dynamic-activation-quantized int8 matmul.
+
+    x (M, K) float → per-row symmetric int8; y = (xq @ w) · sx · scale.
+    Introduces ~0.3-1% activation quantization error (a different numerics
+    mode from weight-only — opt-in via TpuRuntimeConfig.dynamic_int8).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2
+    bk = _largest_divisor(K, 256, bk_cap) or _largest_divisor(K, 32, bk_cap)
+    bn = _largest_divisor(N, 128, bn_cap)
+    if bk is None or bn is None:
+        return None
+
+    xf = x.astype(jnp.float32)
+    sx = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0, min=1e-10)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    bm = _block_m(M)
+    xqp = _pad_rows(xq, bm)
+    sxp = _pad_rows(sx, bm)
+    Mp = xqp.shape[0]
+
+    out = pl.pallas_call(
+        _int8_dyn_kernel,
+        grid=(Mp // bm, N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xqp, sxp, w, scale.astype(jnp.float32).reshape(1, N))
+    return out[:M]

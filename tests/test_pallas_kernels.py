@@ -125,3 +125,20 @@ def test_int4_auto_dispatch():
     out = PM.int4_matmul_auto(x, p, s, interpret=INTERPRET)
     ref = x @ Q.unpack_int4_tpu(p, s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_dynamic_int8_matmul_close():
+    """s8×s8 dynamic-activation kernel vs weight-only float reference
+    (~1% activation-quant error expected, ONNX DynamicQuantizeLinear
+    semantics int8/qlinear.py:54-70)."""
+    from chatglm_q_tpu.ops.linear import int8_matmul
+
+    x = rand((8, 512), 40)
+    w, s = make_int8(512, 512, 41)
+    out = PM.int8_dyn_matmul_pallas(x, w, s, interpret=INTERPRET)
+    ref = x @ (w.astype(jnp.float32) * s)
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.02, rel
+    # dispatch through the flag tuple
+    out2 = int8_matmul((True, 128, True), x, w, s)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-5)
