@@ -47,11 +47,21 @@ cache = M.init_kv_cache(config, args.batch, args.cache_len, dtype)
 ids = jnp.zeros((args.batch,), jnp.int32)
 
 
-def decode_fn(params, ids, cache):
-    return M.decode_step(params, config, ids, cache, quant_type, dtype, rt)
+# the exported signature uses raw arrays (jax.export cannot serialize
+# custom pytree node types like KVCache without extra registration; the
+# KV state maps onto the reference's 28×2 named KV inputs/outputs,
+# examples/onnx/export.py:37-52)
+def decode_fn(params, ids, k, v, lengths):
+    logits, new_cache = M.decode_step(
+        params, config, ids, M.KVCache(k=k, v=v, lengths=lengths),
+        quant_type, dtype, rt,
+    )
+    return logits, new_cache.k, new_cache.v, new_cache.lengths
 
 
-exported = jexport.export(jax.jit(decode_fn))(params, ids, cache)
+exported = jexport.export(jax.jit(decode_fn))(
+    params, ids, cache.k, cache.v, cache.lengths
+)
 data = exported.serialize()
 with open(args.out, "wb") as f:
     f.write(data)
@@ -59,5 +69,5 @@ print(f"exported decode step → {args.out} ({len(data)/1e6:.1f} MB)")
 
 # %% round-trip check
 reloaded = jexport.deserialize(data)
-logits, new_cache = reloaded.call(params, ids, cache)
-print("reload OK:", logits.shape, new_cache.lengths)
+logits, k2, v2, l2 = reloaded.call(params, ids, cache.k, cache.v, cache.lengths)
+print("reload OK:", logits.shape, l2)
