@@ -71,6 +71,7 @@ class ServingEngine:
         dtype=None,
         kv_dtype=None,
         seed: int = 0,
+        logger=None,  # optional chatglm_q_tpu.utils.logging.StructuredLogger
     ):
         self.config = config
         self.mc = config.model_config
@@ -84,6 +85,9 @@ class ServingEngine:
         self.eos_token_id = tokenizer["</s>"] if tokenizer is not None else 2
 
         self.kv_dtype = kv_dtype or self.dtype
+        self.logger = logger
+        self.stats = {"steps": 0, "admitted": 0, "finished": 0,
+                      "generated_tokens": 0, "decode_chunks": 0}
         self.cache = M.init_kv_cache(self.mc, max_batch, self.max_seq_len, self.kv_dtype)
         self.slots = [_Slot() for _ in range(max_batch)]
         self.queue: list[Request] = []
@@ -186,6 +190,11 @@ class ServingEngine:
             slot.request = req
             slot.budget = req.max_new_tokens - 1
             self._last_tok[slot_idx] = tok
+            self.stats["admitted"] += 1
+            self.stats["generated_tokens"] += 1
+            if self.logger:
+                self.logger.log("admit", req_id=req.req_id, slot=slot_idx,
+                                prompt_len=len(ids), bucket=bucket)
             self._maybe_finish(slot_idx)
 
     def _maybe_finish(self, slot_idx: int):
@@ -206,6 +215,10 @@ class ServingEngine:
             self.finished.append(req)
             slot.request = None
             slot.budget = 0
+            self.stats["finished"] += 1
+            if self.logger:
+                self.logger.log("finish", req_id=req.req_id, slot=slot_idx,
+                                generated=len(req.generated))
 
     def step(self) -> list[tuple[int, list]]:
         """Admit + one decode chunk.  Returns [(req_id, new_tokens)] for
@@ -259,7 +272,10 @@ class ServingEngine:
                 )
             self._last_tok[b] = new[-1]
             out.append((req.req_id, new))
+            self.stats["generated_tokens"] += len(new)
             self._maybe_finish(b)
+        self.stats["steps"] += 1
+        self.stats["decode_chunks"] += 1
         return out
 
     def run(self, prompts: list, **kwargs) -> list[str]:
