@@ -111,6 +111,12 @@ class GLMDecoder:
         returns the final processed response."""
         tokenizer = self.tokenizer
         prefix_ids = tokenizer.encode(prefix_text)
+        # keep the most recent context when the prompt exceeds the cache
+        # (the reference would silently forward an over-long prompt,
+        # decoder.py:76-77 only caps generation)
+        max_prefix = self.max_sequence_length - max(1, min(max_generated_tokens, 64))
+        if len(prefix_ids) > max_prefix:
+            prefix_ids = prefix_ids[-max_prefix:]
         rng = jax.random.PRNGKey(np.random.randint(1 << 30) if seed is None else seed)
 
         bucket = _bucket(len(prefix_ids))

@@ -141,3 +141,12 @@ def test_top_p_sampling_distribution():
         for i in range(50)
     ]
     assert len(set(samples)) >= 3
+
+
+def test_generate_overlong_prompt_truncates(decoder):
+    """A prompt longer than the cache must not corrupt decoding (keeps the
+    most recent context)."""
+    long_prompt = "hello " * 200  # tokenizes far beyond max_sequence_length=64
+    gen = decoder.generate(long_prompt, max_generated_tokens=3, temperature=0.0)
+    for _ in gen:
+        pass  # must not raise

@@ -174,3 +174,31 @@ def test_our_checkpoint_loads_in_reference(tmp_path):
                           quant_type="int4g32", rt=RT)
     np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_ignored_and_missing_keys(tmp_path, capsys):
+    """Lenient load: unknown checkpoint keys are reported and skipped;
+    missing model weights raise a clear error (reference loader.py:97-110)."""
+    cfg = ChatGLM2Config(**TINY)
+    params = M.init_params(jax.random.PRNGKey(9), cfg, "none", jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=cfg, torch_dtype="float32")
+    LD.save_model_and_tokenizer(tmp_path / "ok", load_cfg, params, None)
+
+    # add an unknown tensor → warning, still loads
+    import numpy as _np
+    from safetensors.numpy import save_file, load_file
+
+    f = tmp_path / "ok" / load_cfg.weight_files[0]
+    sd = load_file(f)
+    sd["mystery.weight"] = _np.zeros((2, 2), _np.float32)
+    save_file(sd, f)
+    _, p2, _ = LD.load_model_and_tokenizer(tmp_path / "ok", load_tokenizer=False)
+    assert "mystery.weight" in capsys.readouterr().out
+    assert p2 is not None
+
+    # remove a required tensor → clear KeyError
+    sd.pop("final_ln.weight")
+    sd.pop("mystery.weight")
+    save_file(sd, f)
+    with pytest.raises(KeyError, match="final_ln"):
+        LD.load_model_and_tokenizer(tmp_path / "ok", load_tokenizer=False)
