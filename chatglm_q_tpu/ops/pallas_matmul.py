@@ -379,7 +379,8 @@ def int4_matmul_t_pallas(g, packed, scale, *, bk_cap=512, bn_cap=2048, interpret
 # serially — utils analysis in docs/RESULTS.md)
 # ---------------------------------------------------------------------------
 
-_CK = 2048  # K rows per pipelined chunk (packed rows _CK // 2)
+# K rows per pipelined chunk (packed rows _CK // 2); env-tunable for sweeps
+_CK = int(os.environ.get("CHATGLM_Q_TPU_PIPE_CK", "2048"))
 
 
 def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems,
