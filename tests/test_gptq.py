@@ -140,3 +140,72 @@ def test_gptq_param_dict_roundtrip():
     assert p8["weight"].shape == (K, N)
     deq8 = p8["weight"].astype(jnp.float32) * p8["weight_scale"]
     assert float(jnp.mean((deq8 - w_kn) ** 2)) < 0.01
+
+
+def test_model_level_gptq_pipeline_parity():
+    """Whole-model GPTQ: the reference's hook-based layer pipeline
+    (examples/quantize_gptq) vs our functional calibrate driver on the SAME
+    tiny model and calibration batches — quantized outputs must closely
+    agree (both calibrate later layers on quantized-upstream activations)."""
+    import jax.numpy as jnp2
+    from tests.test_model_parity import TINY, make_ref_model, torch_to_params
+    from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.quant.calibrate import gptq_quantize_model
+    from chatglm_q.int4.quantizer import GPTQLinearQuantizer, get_quant_embedding
+
+    cfg = ChatGLM2Config(**TINY)
+    _, ref = make_ref_model(seed=11)
+    params = torch_to_params(ref)  # float tree, same weights
+
+    torch.manual_seed(5)
+    batches = [torch.randint(0, TINY["vocab_size"], (2, 10)) for _ in range(3)]
+
+    # --- reference pipeline (examples/quantize_gptq/int4g32.py:41-100) ---
+    with torch.no_grad():
+        ref.word_embedding = get_quant_embedding(ref.word_embedding)
+        currents = [ref.prepare_input(input_ids=b)[0] for b in batches]
+        freqs = [ref.prepare_input(input_ids=b)[2] for b in batches]
+        masks = [ref.prepare_input(input_ids=b)[1] for b in batches]
+        for layer in ref.layers:
+            hooks = {
+                name: GPTQLinearQuantizer(mod)
+                for name, mod in layer.named_modules()
+                if isinstance(mod, torch.nn.Linear)
+            }
+            outs = []
+            for h, f, m in zip(currents, freqs, masks):
+                out, _ = layer(h, freqs_cis=f, attention_mask=m)
+                outs.append(out)
+            currents = outs
+            for name, gq in hooks.items():
+                gq.remove_hook()
+                parent = layer
+                parts = name.split(".")
+                for p in parts[:-1]:
+                    parent = getattr(parent, p)
+                setattr(parent, parts[-1], gq.get_quantized_linear(blocksize=32))
+        final = [ref.final_ln(h) for h in currents]
+        gq = GPTQLinearQuantizer(ref.lm_head)
+        for h in final:
+            ref.lm_head(h)
+        gq.remove_hook()
+        ref.lm_head = gq.get_quantized_linear(blocksize=32)
+
+    # --- our functional pipeline ---
+    jbatches = [(jnp2.asarray(b.numpy()), None) for b in batches]
+    qparams = gptq_quantize_model(params, cfg, jbatches, "int4g32", blocksize=32)
+
+    ids = batches[0]
+    with torch.no_grad():
+        _, ref_logits, _ = ref(input_ids=ids)
+    _, logits = M.forward(qparams, cfg, jnp2.asarray(ids.numpy()),
+                          quant_type="int4g32",
+                          rt=TpuRuntimeConfig(use_pallas=False))
+    ref_np = ref_logits.numpy()
+    ours = np.asarray(logits)
+    # both are int4 quantizations of the same model with the same Hessians;
+    # tiny fp differences in the sweep can flip individual grid points, so
+    # compare outputs, not weights
+    rel = np.abs(ours - ref_np).max() / (np.abs(ref_np).max() + 1e-9)
+    assert rel < 0.05, rel
