@@ -107,6 +107,16 @@ def main():
                       vp.astype(jnp.float32))
     check("flash_prefill", got, want, rtol=5e-2, atol=5e-2)
 
+    # pipelined decode kernel (auto-dispatch path)
+    got = PM.int4_matmul_pallas_pipelined(x, p4, s4)
+    want = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4)
+    check("int4_pipelined", got, want, rtol=5e-2, atol=5e-1)
+
+    # dynamic-activation int8 (s8×s8 MXU)
+    got = PM.int8_dyn_matmul_pallas(x, w8, s8)
+    want = x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8)
+    check("int8_dynamic", got, want, rtol=8e-2, atol=2.0)
+
     print(f"[{time.time()-T0:6.1f}s] {'ALL PASS' if not FAILED else 'FAILURES: ' + ','.join(FAILED)}",
           flush=True)
     sys.exit(1 if FAILED else 0)
