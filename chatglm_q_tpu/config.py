@@ -98,7 +98,7 @@ class GLMLoadConfig:
         return json.dumps(dataclasses.asdict(self), ensure_ascii=False, indent=2)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class TpuRuntimeConfig:
     """TPU-only runtime knobs — never serialized to checkpoint config.json.
 
@@ -128,6 +128,11 @@ class TpuRuntimeConfig:
     # Flash-attention block sizes.
     attn_block_q: int = 256
     attn_block_k: int = 512
+    # Mesh for shard_map-wrapped flash attention under tensor/data
+    # parallelism (q heads sharded over the model axis, KV replicated,
+    # batch over the data axis).  None = single-device kernels; the XLA
+    # attention path needs no mesh (GSPMD partitions it automatically).
+    mesh: object = None  # Optional[jax.sharding.Mesh]
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:

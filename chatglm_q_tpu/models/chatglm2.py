@@ -219,14 +219,25 @@ def block_forward(
         kc = k_full.astype(q.dtype)
         vc = v_full.astype(q.dtype)
         if kind == "flash_prefill":
-            ctx = PA.flash_attention_prefill(
-                q, kc, vc, lengths, sm_scale, rt.attn_block_q, rt.attn_block_k
-            )
+            if rt.mesh is not None:
+                ctx = PA.flash_attention_prefill_sharded(
+                    q, kc, vc, lengths, sm_scale, rt.mesh,
+                    rt.attn_block_q, rt.attn_block_k,
+                )
+            else:
+                ctx = PA.flash_attention_prefill(
+                    q, kc, vc, lengths, sm_scale, rt.attn_block_q, rt.attn_block_k
+                )
             attn_in_tap = ctx.reshape(B, S, G * Hg * D)
         else:  # flash_decode: S == 1
-            ctx = PA.flash_attention_decode(
-                q[:, 0], kc, vc, lengths, sm_scale, rt.attn_block_k
-            )
+            if rt.mesh is not None:
+                ctx = PA.flash_attention_decode_sharded(
+                    q[:, 0], kc, vc, lengths, sm_scale, rt.mesh, rt.attn_block_k
+                )
+            else:
+                ctx = PA.flash_attention_decode(
+                    q[:, 0], kc, vc, lengths, sm_scale, rt.attn_block_k
+                )
             attn_in_tap = ctx.reshape(B, 1, G * Hg * D)
     else:
         attn_in_tap = _attention_scores(

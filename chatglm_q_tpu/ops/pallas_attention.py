@@ -283,3 +283,53 @@ def flash_attention_decode(
         interpret=interpret,
     )(lengths.astype(jnp.int32), q, kf, vf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# shard_map wrappers: flash kernels under tensor/data parallelism.
+# pallas_call has no GSPMD partitioning rules, so under a mesh the kernels
+# are mapped per-device: q heads shard over the model axis (matching the
+# column-parallel q_proj layout, parallel/sharding.py), KV is replicated
+# (it comes from the replicated kv_proj), batch shards over the data axis.
+# ---------------------------------------------------------------------------
+
+def flash_attention_prefill_sharded(
+    q, k, v, lengths, sm_scale, mesh, block_q=256, block_k=512,
+    data_axis="data", model_axis="model",
+):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    q_spec = P(data_axis, None, None, model_axis, None)
+    kv_spec = P(data_axis, None, None, None)
+
+    fn = shard_map(
+        lambda q, k, v, l: flash_attention_prefill(
+            q, k, v, l, sm_scale, block_q, block_k
+        ),
+        mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, P(data_axis)),
+        out_specs=q_spec,
+        check_rep=False,
+    )
+    return fn(q, k, v, lengths)
+
+
+def flash_attention_decode_sharded(
+    q, k, v, lengths, sm_scale, mesh, block_k=512,
+    data_axis="data", model_axis="model",
+):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    q_spec = P(data_axis, None, model_axis, None)
+    kv_spec = P(data_axis, None, None, None)
+
+    fn = shard_map(
+        lambda q, k, v, l: flash_attention_decode(q, k, v, l, sm_scale, block_k),
+        mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, P(data_axis)),
+        out_specs=q_spec,
+        check_rep=False,
+    )
+    return fn(q, k, v, lengths)

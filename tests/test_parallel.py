@@ -144,3 +144,39 @@ def test_check_quant_params():
     bad = dict(params)
     bad["lm_head"] = {k: v[: v.shape[0] // 2] for k, v in params["lm_head"].items()}
     assert check_quant_params(bad, CFG, "int4g32")
+
+
+def test_flash_attention_sharded_matches_xla():
+    """Flash kernels under shard_map (q heads over the model axis, KV
+    replicated, batch over data) must match the GSPMD XLA attention path."""
+    quant_type = "none"
+    params = M.init_params(jax.random.PRNGKey(10), CFG, quant_type, jnp.float32)
+    mesh = S.make_mesh(2, 4)
+    sharded = S.shard_params(params, mesh, CFG, quant_type)
+
+    prompt = jax.random.randint(jax.random.PRNGKey(11), (2, 8), 0, CFG.vocab_size)
+    lengths = jnp.asarray([8, 6], jnp.int32)
+
+    def run(rt):
+        cache = M.init_kv_cache(CFG, 2, 32, jnp.float32)
+        cache = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            cache, S.kv_cache_pspecs(),
+        )
+        with mesh:
+            logits, cache = M.prefill(sharded, CFG, prompt, lengths, cache,
+                                      quant_type, jnp.float32, rt)
+            out = [np.asarray(logits)]
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            for _ in range(3):
+                logits, cache = M.decode_step(sharded, CFG, tok, cache,
+                                              quant_type, jnp.float32, rt)
+                out.append(np.asarray(logits))
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return out
+
+    xla = run(TpuRuntimeConfig(use_pallas=False, use_flash_attention=False))
+    flash = run(TpuRuntimeConfig(use_pallas=False, use_flash_attention=True,
+                                 mesh=mesh))
+    for a, b in zip(xla, flash):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
