@@ -293,12 +293,25 @@ def flash_attention_decode(
 # (it comes from the replicated kv_proj), batch shards over the data axis.
 # ---------------------------------------------------------------------------
 
+def _mesh_divides(mesh, data_axis, model_axis, batch, hg) -> bool:
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return (
+        batch % sizes.get(data_axis, 1) == 0
+        and hg % sizes.get(model_axis, 1) == 0
+    )
+
+
 def flash_attention_prefill_sharded(
     q, k, v, lengths, sm_scale, mesh, block_q=256, block_k=512,
     data_axis="data", model_axis="model",
 ):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    if not _mesh_divides(mesh, data_axis, model_axis, q.shape[0], q.shape[3]):
+        # shapes not splittable over this mesh: run the kernel unsharded
+        # (GSPMD replicates operands; correct, just not head-parallel)
+        return flash_attention_prefill(q, k, v, lengths, sm_scale, block_q, block_k)
 
     q_spec = P(data_axis, None, None, model_axis, None)
     kv_spec = P(data_axis, None, None, None)
@@ -321,6 +334,9 @@ def flash_attention_decode_sharded(
 ):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    if not _mesh_divides(mesh, data_axis, model_axis, q.shape[0], q.shape[2]):
+        return flash_attention_decode(q, k, v, lengths, sm_scale, block_k)
 
     q_spec = P(data_axis, None, model_axis, None)
     kv_spec = P(data_axis, None, None, None)

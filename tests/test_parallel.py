@@ -180,3 +180,29 @@ def test_flash_attention_sharded_matches_xla():
                                  mesh=mesh))
     for a, b in zip(xla, flash):
         np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+
+
+def test_engine_sharded_with_flash():
+    """Continuous batching over TP-sharded params WITH the shard_map flash
+    attention path — tokens must match the unsharded XLA engine."""
+    from chatglm_q_tpu.config import GLMLoadConfig
+    from chatglm_q_tpu.serving.engine import ServingEngine
+
+    quant_type = "none"
+    params = M.init_params(jax.random.PRNGKey(12), CFG, quant_type, jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    prompts = [[3, 17, 42], [7, 9, 11, 13]]
+
+    eng = ServingEngine(load_cfg, params, None, max_batch=2, max_seq_len=64,
+                        decode_chunk=4, rt=RT)
+    ref_out = eng.run(prompts, max_new_tokens=4, temperature=0.0)
+
+    mesh = S.make_mesh(1, 8)
+    sharded = S.shard_params(params, mesh, CFG, quant_type)
+    rt_flash = TpuRuntimeConfig(use_pallas=False, use_flash_attention=True,
+                                mesh=mesh)
+    with mesh:
+        eng2 = ServingEngine(load_cfg, sharded, None, max_batch=2,
+                             max_seq_len=64, decode_chunk=4, rt=rt_flash)
+        tp_out = eng2.run(prompts, max_new_tokens=4, temperature=0.0)
+    assert ref_out == tp_out
