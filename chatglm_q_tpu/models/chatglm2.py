@@ -145,6 +145,15 @@ def _attention_scores(q, k, v, mask_bias):
     return out.reshape(B, S, G * Hg * D)
 
 
+def _scatter_large(cache, new, layer_idx, start):
+    """Large-batch KV write: scatter rows of one layer slab in place."""
+    slab = jax.lax.dynamic_index_in_dim(cache, layer_idx, 0, keepdims=False)
+    slab = jax.vmap(
+        lambda c, n, s0: jax.lax.dynamic_update_slice(c, n, (s0, 0, 0))
+    )(slab, new, start)
+    return jax.lax.dynamic_update_index_in_dim(cache, slab, layer_idx, 0)
+
+
 def block_forward(
     layer_params: dict,
     x: jax.Array,              # (B, S, H)
@@ -187,28 +196,35 @@ def block_forward(
 
     if kv_write is None:
         k_full, v_full = k, v
+        kv_out = (k_full, v_full)
     else:
-        cache_k, cache_v, start = kv_write
-        # per-row offset writes.  NOTE: vmap(dynamic_update_slice) lowers to
-        # a scatter; for small batches an unrolled per-row
-        # dynamic-update-slice (natively supported, no scatter) is much
-        # cheaper.  Casts support reduced-precision KV caches (float8).
-        def upd_all(cache, new, start):
+        # write the S new positions into the FULL (L, B, Smax, G, D) cache
+        # carried through the layer scan at (layer, row, start_row) — tiny
+        # in-place index updates, never a whole-cache rewrite (stacking the
+        # cache through scan ys copies all L×B×Smax slots every step: at
+        # batch 8 × 8K context that is ~3.8 GB per token, measured).
+        ck, cv, layer_idx, start = kv_write
+
+        def upd_all(cache, new):
             if new.dtype != cache.dtype:  # trace-time: avoid no-op casts
                 new = new.astype(cache.dtype)
-            Bc = cache.shape[0]
+            Bc = cache.shape[1]
             if Bc <= 8:
+                # unrolled per-row dynamic-update-slice (vmap would lower
+                # to a scatter)
                 for b in range(Bc):
                     cache = jax.lax.dynamic_update_slice(
-                        cache, new[b : b + 1], (b, start[b], 0, 0)
+                        cache, new[None, b : b + 1],
+                        (layer_idx, b, start[b], 0, 0),
                     )
                 return cache
-            return jax.vmap(
-                lambda c, n, s0: jax.lax.dynamic_update_slice(c, n, (s0, 0, 0))
-            )(cache, new, start)
+            return _scatter_large(cache, new, layer_idx, start)
 
-        k_full = upd_all(cache_k, k, start)
-        v_full = upd_all(cache_v, v, start)
+        ck = upd_all(ck, k)
+        cv = upd_all(cv, v)
+        k_full = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
+        v_full = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+        kv_out = (ck, cv)
 
     if isinstance(mask_bias, tuple):
         # serving fast path: Pallas flash/ragged attention, mask from lengths
@@ -254,8 +270,8 @@ def block_forward(
     x = x + ffn
     if collect_taps:
         taps = {"qkv_in": h, "o_in": attn_in_tap, "w_in_in": h2, "w_out_in": act}
-        return x, (k_full, v_full), taps
-    return x, (k_full, v_full)
+        return x, kv_out, taps
+    return x, kv_out
 
 
 # ---------------------------------------------------------------------------
@@ -349,17 +365,24 @@ def _serving_freqs(config, positions, dtype):
 
 
 def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5, cache, start):
-    """Scan blocks over stacked layer params, threading per-layer cache slabs."""
+    """Scan blocks over stacked layer params; the full KV cache rides the
+    scan CARRY and each layer performs tiny in-place index writes (stacking
+    per-layer cache outputs through scan ys would rewrite the entire cache
+    every step)."""
+    L = config.num_layers
 
-    def scan_body(h, inp):
-        layer_params, cache_k, cache_v = inp
-        h, (k_full, v_full) = block_forward(
+    def scan_body(carry, inp):
+        h, ck, cv = carry
+        layer_idx, layer_params = inp
+        h, (ck, cv) = block_forward(
             layer_params, h, freqs_cis, mask5, config, quant_type, rt,
-            kv_write=(cache_k, cache_v, start),
+            kv_write=(ck, cv, layer_idx, start),
         )
-        return h, (k_full, v_full)
+        return (h, ck, cv), None
 
-    h, (new_k, new_v) = jax.lax.scan(scan_body, h, (params["layers"], cache.k, cache.v))
+    (h, new_k, new_v), _ = jax.lax.scan(
+        scan_body, (h, cache.k, cache.v), (jnp.arange(L), params["layers"])
+    )
     return h, new_k, new_v
 
 
