@@ -349,3 +349,121 @@ def flash_attention_decode_sharded(
         check_rep=False,
     )
     return fn(q, k, v, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Decode v2: O(length) KV reads via manual double-buffered DMA with a
+# dynamic in-kernel trip count (paged-attention structure over contiguous
+# "pages").  NOT currently the default: measured slower than the grid
+# kernel at 8K context / short lengths (per-(b,g)-program overhead plus
+# 50%-efficient strided row DMAs — the (B, T, G·D) layout reads 256 B of
+# every 512 B row).  It becomes the right structure once the cache layout
+# moves to (B, G, T, D) (contiguous per-group rows) — round-2 item.
+# ---------------------------------------------------------------------------
+
+def _decode_v2_kernel(lengths_ref, q_ref, k_hbm, v_hbm, o_ref,
+                      kbuf, vbuf, acc_ref, sems, *, bk, t_total, hg, d):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    n_valid = lengths_ref[b] + 1
+    n_blocks = jax.lax.div(n_valid + bk - 1, bk)
+
+    def dmas(slot, blk):
+        # K/V are (B, T, G*D): the G slice is a 128-aligned lane range
+        # (slicing a (…, G, D) layout's G dim is illegal — it sits inside
+        # the (2, 128) tile)
+        rows = pl.ds(blk * bk, bk)
+        cols = pl.ds(g * d, d)
+        return (
+            pltpu.make_async_copy(k_hbm.at[b, rows, cols], kbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[b, rows, cols], vbuf.at[slot], sems.at[slot, 1]),
+        )
+
+    for dma in dmas(0, 0):
+        dma.start()
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (Hg, D)
+
+    def body(blk, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            for dma in dmas(nxt, blk + 1):
+                dma.start()
+
+        for dma in dmas(slot, blk):
+            dma.wait()
+
+        k = kbuf[slot].astype(jnp.float32)       # (bk, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk * bk
+        s = jnp.where(cols < n_valid, s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        v = vbuf[slot].astype(jnp.float32)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_next, l, acc
+
+    m0 = jnp.full((hg, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((hg, 1), jnp.float32)
+    acc0 = jnp.zeros((hg, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention_decode_v2(
+    q, k, v, lengths, sm_scale, block_k=512, interpret=None,
+):
+    """Ragged decode attention with O(length) HBM reads.
+
+    Same semantics as flash_attention_decode; K/V stay in HBM and only the
+    blocks below each row's length are DMA'd.  The sm_scale is folded into
+    q before the kernel (one (B,G,Hg,D) multiply).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    B, G, Hg, D = q.shape
+    T = k.shape[1]
+    bk = min(block_k, T)
+    while T % bk:
+        bk //= 2
+
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    kf = k.reshape(B, T, G * D)
+    vf = v.reshape(B, T, G * D)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_v2_kernel, bk=bk, t_total=T, hg=Hg, d=D),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G),
+            in_specs=[
+                pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, bk, D), k.dtype),
+                pltpu.VMEM((2, bk, D), v.dtype),
+                pltpu.VMEM((Hg, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qs, kf, vf)
+    return out

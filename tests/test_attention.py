@@ -131,3 +131,23 @@ def test_fp8_kv_cache_close_to_bf16():
     for a, b in zip(ref, fp8):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-6))
         assert rel < 0.15, rel
+
+
+def test_decode_v2_kernel_vs_oracle_ragged():
+    """O(length)-read decode kernel (manual double-buffered DMA) vs oracle."""
+    from chatglm_q_tpu.ops.pallas_attention import flash_attention_decode_v2
+
+    B, T, G, Hg, D = 3, 64, 2, 4, 16
+    q = jax.random.normal(jax.random.PRNGKey(13), (B, G, Hg, D))
+    k = jax.random.normal(jax.random.PRNGKey(14), (B, T, G, D))
+    v = jax.random.normal(jax.random.PRNGKey(15), (B, T, G, D))
+    lengths = jnp.asarray([0, 17, 63], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    s = jnp.einsum("bghd,btgd->bght", q, k) * sm
+    m = jnp.arange(T)[None, :] <= lengths[:, None]
+    ref = jnp.einsum(
+        "bght,btgd->bghd",
+        jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), axis=-1), v,
+    )
+    out = flash_attention_decode_v2(q, k, v, lengths, sm, 16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
