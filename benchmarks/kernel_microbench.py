@@ -1,13 +1,29 @@
-"""Dequant-matmul kernel stage attribution.
+"""Dequant-matmul kernel stage attribution + candidate-scheme shootout.
 
 Times the int4 decode-shape kernel against ablations (no scale multiply /
-int8 / pure bf16) to attribute the gap to HBM speed-of-light between DMA,
-int4→bf16 conversion, and the group-scale multiply.  Chains L distinct
-weight tensors under one jit (cache-busting + dispatch amortization) and
-slope-times (utils/timing.py).
+int8 / pure bf16) and against alternative dequant formulations, to attribute
+the gap to HBM speed-of-light between DMA, int4→bf16 conversion, and the
+group-scale multiply — and to pick the fastest correct scheme.  Chains L
+distinct weight tensors under one jit (cache-busting + dispatch
+amortization) and slope-times (utils/timing.py).
+
+Modes:
+  bf16 / int8 / int4_noscale / int4   — round-1 attribution set
+  int4_repeat     — group scales expanded with pltpu.repeat, single multiply
+  int4_grouped    — per-group (M,32)@(32,bn) dots, scales on the partials
+                    (32× fewer scale multiplies than scaling the weights)
+  int4_batched    — same partial-dot idea via one batched dot_general
+  int4_bittrick   — bf16 built from biased nibbles by integer OR into the
+                    mantissa (no int→float convert); no scale (ablation)
+  int4_bt_grouped — bittrick construction + grouped scales + rank-1 offset
+                    correction via an (M,G)@(G,bn) MXU matmul (exact scheme)
+  int4_convert_i8 — staged int4→int8→bf16 convert (no scale; ablation)
+
+Usage: python benchmarks/kernel_microbench.py [mode ...]
 """
 import functools
 import json
+import sys
 
 import numpy as np
 import jax
@@ -25,6 +41,20 @@ from chatglm_q_tpu.utils.timing import force, slope_time
 HBM_GBPS = 819.0
 M, K, N, L = 8, 4096, 4096, 8
 BK, BN = 2048, 1024
+GROUP = 32
+
+
+def _bittrick_w(p_u8):
+    """(bk/2, bn) biased-nibble bytes → (bk, bn) bf16 with value 256 + 2u.
+
+    The nibble is OR-ed into the low mantissa bits of bf16 256.0 (0x4380):
+    256·(1 + u/128) = 256 + 2u.  True weight q = u − 8, so
+    s·q = (s/2)·(256+2u) − 272·(s/2): fold s/2 into the stored scale and the
+    −272 term into a rank-1 correction.
+    """
+    q = pltpu.bitcast(p_u8, jnp.int4)              # nibbles, signed view
+    u16 = q.astype(jnp.int16) & 0xF                # biased nibble in 16-bit lanes
+    return pltpu.bitcast(u16 | 0x4380, jnp.bfloat16)
 
 
 def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
@@ -34,31 +64,84 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    if mode in ("int4", "int4_noscale"):
+    x = x_ref[...]
+
+    if mode in ("int4", "int4_noscale", "int4_repeat"):
         q = pltpu.bitcast(p_ref[...], jnp.int4)
         w = q.astype(jnp.bfloat16)
+        bk, bn = w.shape
         if mode == "int4":
-            bk, bn = w.shape
             s = s_ref[...].astype(jnp.bfloat16)
-            w = (w.reshape(bk // 32, 32, bn) * s[:, None, :]).reshape(bk, bn)
+            w = (w.reshape(bk // GROUP, GROUP, bn) * s[:, None, :]).reshape(bk, bn)
+        elif mode == "int4_repeat":
+            s = s_ref[...].astype(jnp.bfloat16)
+            w = w * pltpu.repeat(s, GROUP, axis=0)
+        acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    elif mode == "int4_convert_i8":
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        w = q.astype(jnp.int8).astype(jnp.bfloat16)
+        acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    elif mode == "int4_bittrick":
+        w = _bittrick_w(p_ref[...])
+        acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    elif mode == "int4_grouped":
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        w = q.astype(jnp.bfloat16)
+        bk, bn = w.shape
+        s = s_ref[...].astype(jnp.float32)         # (G, bn)
+        total = jnp.zeros_like(acc_ref)
+        for g in range(bk // GROUP):
+            pg = jnp.dot(x[:, GROUP * g:GROUP * (g + 1)],
+                         w[GROUP * g:GROUP * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        acc_ref[...] += total
+    elif mode == "int4_batched":
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        w = q.astype(jnp.bfloat16)
+        bk, bn = w.shape
+        gb = bk // GROUP
+        s = s_ref[...].astype(jnp.float32)
+        xg = x.reshape(x.shape[0], gb, GROUP).transpose(1, 0, 2)
+        wg = w.reshape(gb, GROUP, bn)
+        pg = jax.lax.dot_general(
+            xg, wg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                           # (G, M, bn)
+        acc_ref[...] += (pg * s[:, None, :]).sum(0)
+    elif mode == "int4_bt_grouped":
+        w = _bittrick_w(p_ref[...])                 # value 256 + 2u
+        bk, bn = w.shape
+        gb = bk // GROUP
+        s = s_ref[...].astype(jnp.float32)          # holds s/2 in real use
+        total = jnp.zeros_like(acc_ref)
+        for g in range(gb):
+            pg = jnp.dot(x[:, GROUP * g:GROUP * (g + 1)],
+                         w[GROUP * g:GROUP * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        # rank-1 offset: y -= 272 · (Σ_k∈g x) @ s
+        xsum = x.reshape(x.shape[0], gb, GROUP).astype(jnp.float32).sum(-1)
+        total -= 272.0 * jnp.dot(xsum, s, preferred_element_type=jnp.float32)
+        acc_ref[...] += total
     elif mode == "int8":
         w = p_ref[...].astype(jnp.bfloat16)
+        acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
     else:  # bf16
-        w = p_ref[...]
-    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x, p_ref[...], preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+_INT4_MODES = ("int4", "int4_noscale", "int4_repeat", "int4_grouped",
+               "int4_batched", "int4_bittrick", "int4_bt_grouped",
+               "int4_convert_i8")
+
+
 def matmul(mode, x, p, s):
-    wspec = {
-        "int4": (BK // 2, BN),
-        "int4_noscale": (BK // 2, BN),
-        "int8": (BK, BN),
-        "bf16": (BK, BN),
-    }[mode]
+    wspec = (BK // 2, BN) if mode in _INT4_MODES else (BK, BN)
     return pl.pallas_call(
         functools.partial(_kernel, mode=mode),
         grid=(1, N // BN, K // BK),
@@ -79,7 +162,7 @@ def matmul(mode, x, p, s):
 def bench_mode(mode):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (M, K), jnp.bfloat16)
-    if mode in ("int4", "int4_noscale"):
+    if mode in _INT4_MODES:
         w = jax.random.bits(jax.random.PRNGKey(1), (L, K // 2, N), jnp.uint8)
         wbytes = K * N // 2
     elif mode == "int8":
@@ -89,7 +172,8 @@ def bench_mode(mode):
         w = jax.random.normal(jax.random.PRNGKey(1), (L, K, N), jnp.bfloat16) * 0.01
         wbytes = K * N * 2
     s = jnp.full((L, K // 32, N), 0.01, jnp.float32)
-    if mode == "int4":
+    if mode not in ("bf16", "int8", "int4_noscale", "int4_bittrick",
+                    "int4_convert_i8"):
         wbytes += (K // 32) * N * 4
 
     @functools.partial(jax.jit, static_argnames="reps")
@@ -116,5 +200,12 @@ def bench_mode(mode):
 
 
 if __name__ == "__main__":
-    for mode in ("bf16", "int8", "int4_noscale", "int4"):
-        bench_mode(mode)
+    modes = sys.argv[1:] or ("bf16", "int8", "int4_noscale", "int4",
+                             "int4_repeat", "int4_grouped", "int4_batched",
+                             "int4_bittrick", "int4_bt_grouped",
+                             "int4_convert_i8")
+    for mode in modes:
+        try:
+            bench_mode(mode)
+        except Exception as e:  # keep the shootout going past one bad mode
+            print(json.dumps({"mode": mode, "error": repr(e)[:300]}), flush=True)

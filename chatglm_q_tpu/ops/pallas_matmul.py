@@ -143,15 +143,18 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total)
     if not _PERF_DEBUG_NOSCALE:
         s = s_ref[...].astype(x_ref.dtype)                # (gb, bn)
         w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
+    xv = x_ref[...]
     if k_total % bk:
-        # the final K block overhangs the array; its out-of-bounds rows read
-        # garbage — zero them so they contribute nothing to the dot (the
-        # overhanging x columns then multiply zeros).  Emitted only for
+        # the final K block overhangs the array; out-of-bounds rows/columns
+        # read garbage on BOTH operands — zero each side (0·NaN = NaN, so
+        # masking only one operand is not enough).  Emitted only for
         # non-dividing K (e.g. ChatGLM2 inner dim 13696 = 26×512 + 384).
         valid = k_total - k * bk
         rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
         w = jnp.where(rows < valid, w, jnp.zeros_like(w))
-    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
+        xv = jnp.where(cols < valid, xv, jnp.zeros_like(xv))
+    acc_ref[...] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():

@@ -21,10 +21,19 @@ def top_p_sampling(
     top_k: int = 100,
     top_p: float = 0.8,
     temperature: float = 1.0,
+    top_k_limit: jax.Array | None = None,   # (..., 1) per-row k ≤ top_k
 ) -> jax.Array:
-    """Sample token ids (...,) int32 from logits."""
+    """Sample token ids (...,) int32 from logits.
+
+    ``top_k`` is the static sort width; ``top_k_limit`` optionally narrows it
+    per row (so one compiled program serves mixed per-request top_k values,
+    as the batching engine needs).
+    """
     probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
     probs, indices = jax.lax.top_k(probs, top_k)          # sorted descending
+    if top_k_limit is not None:
+        pos = jnp.arange(top_k)
+        probs = jnp.where(pos < top_k_limit, probs, 0.0)
     cumsum = jnp.cumsum(probs, axis=-1)
     probs = jnp.where((cumsum - probs) > top_p, 0.0, probs)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)

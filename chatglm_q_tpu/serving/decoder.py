@@ -119,7 +119,9 @@ class GLMDecoder:
             prefix_ids = prefix_ids[-max_prefix:]
         rng = jax.random.PRNGKey(np.random.randint(1 << 30) if seed is None else seed)
 
-        bucket = _bucket(len(prefix_ids))
+        # clamp: with a non-power-of-two max_sequence_length the bucket could
+        # otherwise exceed the KV cache length and break the prefill update
+        bucket = min(_bucket(len(prefix_ids)), self.max_sequence_length)
         prompt = np.zeros((1, bucket), np.int32)
         prompt[0, : len(prefix_ids)] = prefix_ids
         cache = M.init_kv_cache(

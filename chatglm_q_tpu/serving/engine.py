@@ -96,6 +96,9 @@ class ServingEngine:
         self._rng = jax.random.PRNGKey(seed)
         # last sampled token per slot (feeds the next decode step)
         self._last_tok = np.zeros((max_batch,), np.int32)
+        # host-side mirror of cache.lengths: finish checks and boundary
+        # clamps must not pay a device fetch per slot per step
+        self._host_lengths = np.zeros((max_batch,), np.int64)
 
         qt = config.quant_type
 
@@ -115,11 +118,11 @@ class ServingEngine:
             new_lengths = cache.lengths.at[slot].set(length)
             return logits[0], M.KVCache(k=new_k, v=new_v, lengths=new_lengths)
 
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
-        def _decode_chunk(params, cache, first_tok, rng, active, sampling, n):
+        @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
+        def _decode_chunk(params, cache, first_tok, rng, active, sampling, n, top_k):
             # per-slot sampling params (B,) — requests with different
-            # temperature/top_p coexist in one chunk
-            temperature, top_p = sampling
+            # temperature/top_p/top_k coexist in one chunk
+            temperature, top_p, top_k_limit = sampling
 
             def step(carry, rng_step):
                 tok, cache = carry
@@ -128,7 +131,8 @@ class ServingEngine:
                 )
                 safe_t = jnp.where(temperature > 0, temperature, 1.0)
                 sampled = top_p_sampling(
-                    rng_step, logits, 100, top_p[:, None], safe_t[:, None]
+                    rng_step, logits, top_k, top_p[:, None], safe_t[:, None],
+                    top_k_limit=top_k_limit[:, None],
                 )
                 greedy = greedy_sampling(logits)
                 nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
@@ -172,7 +176,12 @@ class ServingEngine:
             if slot.request is not None or not self.queue:
                 continue
             req = self.queue.pop(0)
-            ids = req.prompt_ids[-self.max_seq_len + req.max_new_tokens :]
+            # keep the most recent context, reserving generation room (like
+            # decoder.py): a budget ≥ max_seq_len must not slice the prompt
+            # to nothing (negative-start slice turning positive)
+            reserve = max(1, min(req.max_new_tokens, 64))
+            keep = max(1, self.max_seq_len - reserve)
+            ids = req.prompt_ids[-keep:]
             bucket = self._bucket(len(ids))
             padded = np.zeros((1, bucket), np.int32)
             padded[0, : len(ids)] = ids
@@ -190,6 +199,7 @@ class ServingEngine:
             slot.request = req
             slot.budget = req.max_new_tokens - 1
             self._last_tok[slot_idx] = tok
+            self._host_lengths[slot_idx] = len(ids)
             self.stats["admitted"] += 1
             self.stats["generated_tokens"] += 1
             if self.logger:
@@ -206,7 +216,7 @@ class ServingEngine:
             req.done = True
         if slot.budget <= 0:
             req.done = True
-        if int(self.cache.lengths[slot_idx]) + 1 >= self.max_seq_len:
+        if int(self._host_lengths[slot_idx]) + 1 >= self.max_seq_len:
             req.done = True
         if req.done:
             # strip a trailing eos from the visible output
@@ -229,9 +239,11 @@ class ServingEngine:
         )
         if not active_mask.any():
             return []
-        n = max(1, min(self.chunk, min(
-            s.budget for s in self.slots if s.request is not None
-        )))
+        # fixed chunk length: over-generation past a slot's budget/eos is
+        # rolled back below.  A budget-dependent n would both stall the whole
+        # batch on one nearly-done slot and compile a fresh chunk program for
+        # every distinct n (minutes each on remote-compile deployments).
+        n = self.chunk
         temps = np.array(
             [s.request.temperature if s.request else 0.0 for s in self.slots],
             np.float32,
@@ -240,6 +252,13 @@ class ServingEngine:
             [s.request.top_p if s.request else 1.0 for s in self.slots],
             np.float32,
         )
+        top_ks = np.array(
+            [s.request.top_k if s.request else 1 for s in self.slots],
+            np.int32,
+        )
+
+        # static sort width: smallest power-of-two bucket covering the batch
+        sort_k = 100 if top_ks.max() <= 100 else 1 << int(top_ks.max() - 1).bit_length()
         self._rng, sub = jax.random.split(self._rng)
         toks, self.cache = self._decode_chunk(
             self.params,
@@ -247,8 +266,9 @@ class ServingEngine:
             jnp.asarray(self._last_tok),
             sub,
             jnp.asarray(active_mask),
-            (jnp.asarray(temps), jnp.asarray(tops)),
+            (jnp.asarray(temps), jnp.asarray(tops), jnp.asarray(top_ks)),
             n,
+            sort_k,
         )
         toks = np.asarray(toks)  # (B, n)
         out = []
@@ -257,7 +277,10 @@ class ServingEngine:
             if req is None:
                 continue
             new = []
-            for t in toks[b]:
+            # cache positions past max_seq_len - 1 are clamped writes:
+            # tokens decoded there are invalid, stop appending at the wall
+            remaining = self.max_seq_len - 1 - int(self._host_lengths[b])
+            for t in toks[b][:max(1, remaining)]:
                 t = int(t)
                 new.append(t)
                 req.generated.append(t)
@@ -271,6 +294,7 @@ class ServingEngine:
                     lengths=self.cache.lengths.at[b].add(-extra)
                 )
             self._last_tok[b] = new[-1]
+            self._host_lengths[b] += len(new)
             out.append((req.req_id, new))
             self.stats["generated_tokens"] += len(new)
             self._maybe_finish(b)

@@ -21,6 +21,7 @@ from .sp_proto import (
     serialize_model,
 )
 from .sp_core import WS
+from .charsmap import build_charsmap
 
 
 def _base_pieces(byte_fallback: bool) -> list[SentencePieceEntry]:
@@ -40,8 +41,11 @@ def build_unigram_model(
     vocab: dict[str, float] | Iterable[str],
     byte_fallback: bool = True,
     add_dummy_prefix: bool = True,
+    charsmap: dict[str, str] | None = None,
 ) -> bytes:
-    """vocab: {piece: score} (or iterable of pieces scored by −index)."""
+    """vocab: {piece: score} (or iterable of pieces scored by −index).
+    ``charsmap``: optional {source: replacement} normalization mapping,
+    serialized as a precompiled charsmap (charsmap.py)."""
     if not isinstance(vocab, dict):
         vocab = {p: -float(i) for i, p in enumerate(vocab)}
     pieces = _base_pieces(byte_fallback)
@@ -54,6 +58,9 @@ def build_unigram_model(
         unk_id=0, bos_id=1, eos_id=2, pad_id=-1,
         add_dummy_prefix=add_dummy_prefix,
     )
+    if charsmap:
+        m.normalizer_name = "custom"
+        m.precompiled_charsmap = build_charsmap(charsmap)
     return serialize_model(m)
 
 

@@ -78,63 +78,54 @@ class ChatGLM2Tokenizer:
         return_tensors: Literal[False, "np", "jax"] = False,
         return_labels=False,
     ) -> BatchEncoding:
-        if isinstance(text, str):
-            text = [text]
-        if isinstance(text_pair, str):
-            text_pair = [text_pair]
+        """Batch-encode with padding (default left, as the decode-time layout
+        requires) — behavior matches tokenizer.py:66-144; implementation is a
+        vectorized mask/scatter over a dense (batch, width) grid."""
+        texts = [text] if isinstance(text, str) else list(text)
         if text_pair is None:
-            text_pair = [None] * len(text)
-        assert len(text) == len(text_pair)
-
-        input_ids = [self.encode(t, tp, add_special_tokens) for t, tp in zip(text, text_pair)]
-        attention_mask = [[1] * len(ids) for ids in input_ids]
-        position_ids = [list(range(len(ids))) for ids in input_ids]
-
-        if max_length:
-            for i in range(len(input_ids)):
-                input_ids[i] = input_ids[i][:max_length]
-                attention_mask[i] = attention_mask[i][:max_length]
-                position_ids[i] = position_ids[i][:max_length]
-
-        max_seq_length = max(len(ids) for ids in input_ids)
-        if padding == "right":
-            for i in range(len(input_ids)):
-                pad = max_seq_length - len(input_ids[i])
-                input_ids[i] = input_ids[i] + pad * [self.pad_id]
-                attention_mask[i] = attention_mask[i] + pad * [0]
-                position_ids[i] = position_ids[i] + pad * [0]
-        elif padding == "left" or padding is True:
-            for i in range(len(input_ids)):
-                pad = max_seq_length - len(input_ids[i])
-                input_ids[i] = pad * [self.pad_id] + input_ids[i]
-                attention_mask[i] = pad * [0] + attention_mask[i]
-                position_ids[i] = pad * [0] + position_ids[i]
+            pairs = [None] * len(texts)
         else:
+            pairs = [text_pair] if isinstance(text_pair, str) else list(text_pair)
+        assert len(texts) == len(pairs)
+
+        seqs = [self.encode(t, p, add_special_tokens) for t, p in zip(texts, pairs)]
+        if max_length:
+            seqs = [ids[:max_length] for ids in seqs]
+
+        if padding is False:
             assert not return_tensors, "set padding=True when return_tensors"
+            return BatchEncoding(
+                input_ids=seqs,
+                attention_mask=[[1] * len(ids) for ids in seqs],
+                position_ids=[list(range(len(ids))) for ids in seqs],
+            )
 
-        if return_tensors:
-            input_ids = np.asarray(input_ids, dtype=np.int64)
-            attention_mask = np.asarray(attention_mask, dtype=np.int64)
-            position_ids = np.asarray(position_ids, dtype=np.int64)
-            if return_tensors == "jax":
-                import jax.numpy as jnp
+        lengths = np.array([len(ids) for ids in seqs], dtype=np.int64)
+        width = int(lengths.max()) if len(seqs) else 0
+        grid = np.arange(width, dtype=np.int64)[None, :]
+        if padding == "right":
+            valid = grid < lengths[:, None]
+        else:  # "left" / True
+            valid = grid >= (width - lengths)[:, None]
+        # valid slots are contiguous per row, so a row-major boolean scatter
+        # of the concatenated ids lands each sequence in order
+        input_ids = np.full((len(seqs), width), self.pad_id, dtype=np.int64)
+        if seqs:
+            input_ids[valid] = np.concatenate(
+                [np.asarray(ids, dtype=np.int64) for ids in seqs]
+            )
+        attention_mask = valid.astype(np.int64)
+        position_ids = np.where(valid, np.cumsum(valid, axis=1) - 1, 0)
 
-                input_ids = jnp.asarray(input_ids)
-                attention_mask = jnp.asarray(attention_mask)
-                position_ids = jnp.asarray(position_ids)
-
-        inputs = BatchEncoding(
-            input_ids=input_ids,
-            attention_mask=attention_mask,
-            position_ids=position_ids,
-        )
+        arrays = dict(input_ids=input_ids, attention_mask=attention_mask,
+                      position_ids=position_ids)
         if return_labels:
             assert return_tensors, "'return_labels' requires return_tensors"
-            labels = np.where(np.asarray(attention_mask).astype(bool),
-                              np.asarray(input_ids), -100)
-            if return_tensors == "jax":
-                import jax.numpy as jnp
+            arrays["labels"] = np.where(valid, input_ids, -100)
+        if not return_tensors:
+            arrays = {k: v.tolist() for k, v in arrays.items()}
+        elif return_tensors == "jax":
+            import jax.numpy as jnp
 
-                labels = jnp.asarray(labels)
-            inputs["labels"] = labels
-        return inputs
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        return BatchEncoding(**arrays)

@@ -11,10 +11,10 @@ protobuf (sp_proto.py) and implements both encoding algorithms:
   BPE convention: scores encode merge priority; ties break to the
   leftmost pair).
 
-Normalization implements the spm defaults used by LLM tokenizers:
-whitespace escape to ``▁`` (U+2581), optional dummy prefix, optional
-extra-whitespace collapsing.  The precompiled NFKC charsmap is NOT applied
-(documented limitation; ChatGLM2's model uses identity normalization).
+Normalization implements the spm pipeline: the model's precompiled
+charsmap (darts-trie longest-prefix replacement, ``charsmap.py``) when
+present, then whitespace escape to ``▁`` (U+2581), optional dummy prefix,
+optional extra-whitespace collapsing.
 
 A faster C++ implementation with the same semantics lives in
 ``native/sptok`` and is used automatically when its shared library is
@@ -26,6 +26,7 @@ import heapq
 from pathlib import Path
 from typing import Iterable, Optional, Union
 
+from .charsmap import PrecompiledCharsmap
 from .sp_proto import (
     MODEL_BPE,
     MODEL_CHAR,
@@ -71,6 +72,10 @@ class SpTokenizer:
                 if use_native:
                     raise
         self.pieces = model.pieces
+        self._charsmap = (
+            PrecompiledCharsmap(model.precompiled_charsmap)
+            if model.precompiled_charsmap else None
+        )
         self._piece_to_id = {p.piece: i for i, p in enumerate(self.pieces)}
         self._scores = [p.score for p in self.pieces]
         self._byte_id = {}
@@ -127,6 +132,8 @@ class SpTokenizer:
 
     def normalize(self, text: str) -> str:
         m = self.proto
+        if self._charsmap is not None:
+            text = self._charsmap.normalize(text)
         if m.remove_extra_whitespaces:
             text = " ".join(s for s in text.split(" ") if s != "")
         if m.add_dummy_prefix and text:

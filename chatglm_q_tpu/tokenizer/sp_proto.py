@@ -132,6 +132,8 @@ class SpModelProto:
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
+    normalizer_name: str = ""
+    precompiled_charsmap: bytes = b""  # darts trie + replacement blob
     # opaque unparsed fields, re-emitted on serialize
     _unknown_model: list = field(default_factory=list)
     _unknown_trainer: list = field(default_factory=list)
@@ -160,11 +162,16 @@ def _serialize_piece(p: SentencePieceEntry) -> bytes:
 
 
 def _zigzag_int(v: int) -> int:
-    """Decode a negative-capable int32 stored as plain varint."""
-    if v >= 1 << 31:
-        v -= 1 << 32
+    """Decode a negative-capable int32 stored as plain varint.
+
+    protoc sign-extends negative int32 to 10 bytes (64-bit two's complement),
+    so reduce modulo 2^64 first; a 32-bit-truncated encoding (5 bytes) then
+    still needs the 2^32 wrap.  Both forms decode to the same int32.
+    """
     if v >= 1 << 63:
         v -= 1 << 64
+    elif v >= 1 << 31:
+        v -= 1 << 32
     return v
 
 
@@ -192,7 +199,11 @@ def parse_model(data: bytes) -> SpModelProto:
                     m._unknown_trainer.append((tf, tw, tv))
         elif fnum == 3 and wtype == 2:  # NormalizerSpec
             for nf, nw, nv in _iter_fields(value):
-                if nf == 3 and nw == 0:
+                if nf == 1 and nw == 2:
+                    m.normalizer_name = nv.decode("utf-8")
+                elif nf == 2 and nw == 2:
+                    m.precompiled_charsmap = bytes(nv)
+                elif nf == 3 and nw == 0:
                     m.add_dummy_prefix = bool(nv)
                 elif nf == 4 and nw == 0:
                     m.remove_extra_whitespaces = bool(nv)
@@ -215,12 +226,16 @@ def serialize_model(m: SpModelProto) -> bytes:
     if m.byte_fallback:
         _emit(trainer, 35, 0, 1)
     for fid, v in ((40, m.unk_id), (41, m.bos_id), (42, m.eos_id), (43, m.pad_id)):
-        _emit(trainer, fid, 0, v & 0xFFFFFFFF if v < 0 else v)
+        _emit(trainer, fid, 0, v)  # _write_varint sign-extends to 64-bit
     for tf, tw, tv in m._unknown_trainer:
         _emit(trainer, tf, tw, tv)
     _emit(out, 2, 2, bytes(trainer))
 
     norm = bytearray()
+    if m.normalizer_name:
+        _emit(norm, 1, 2, m.normalizer_name.encode("utf-8"))
+    if m.precompiled_charsmap:
+        _emit(norm, 2, 2, m.precompiled_charsmap)
     _emit(norm, 3, 0, int(m.add_dummy_prefix))
     _emit(norm, 4, 0, int(m.remove_extra_whitespaces))
     _emit(norm, 5, 0, int(m.escape_whitespaces))
