@@ -131,16 +131,25 @@ def init_kv_cache(
 # Attention + block
 # ---------------------------------------------------------------------------
 
-def _attention_scores(q, k, v, mask_bias):
+def _dropout(x, rate, rng):
+    """Inverted dropout (train mode only; the reference's nn.Dropout)."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _attention_scores(q, k, v, mask_bias, dropout=None):
     """q (B,S,G,Hg,D), k/v (B,T,G,{1|
     }..,D) grouped MQA attention with additive
-    mask bias (B,1,1,S,T); softmax in fp32 (model.py:163-173)."""
+    mask bias (B,1,1,S,T); softmax in fp32 (model.py:163-173); optional
+    attention-prob dropout (model.py:171)."""
     B, S, G, Hg, D = q.shape
     q = q / jnp.asarray(np.sqrt(D), q.dtype)
     # scores (B, G, Hg, S, T)
     scores = jnp.einsum("bsghd,btgd->bghst", q, k)
     scores = scores.astype(jnp.float32) + mask_bias
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if dropout is not None:
+        probs = _dropout(probs, *dropout)
     out = jnp.einsum("bghst,btgd->bsghd", probs, v)
     return out.reshape(B, S, G * Hg * D)
 
@@ -165,6 +174,11 @@ def block_forward(
     kv_write=None,             # None (parity: keys = this block) or
                                # (cache_k (B,Smax,G,D), cache_v, start_idx (B,))
     collect_taps: bool = False,
+    past_kv=None,              # parity-mode incremental forward: (pk, pv)
+                               # each (B, T_past, G, D) prepended to K/V
+    dropout=None,              # (rate, rng) — train-mode dropout on the
+                               # attention probs and the FFN activation
+                               # (model.py:171, :201)
 ):
     """One pre-norm transformer block (model.py:204-246).
 
@@ -195,7 +209,12 @@ def block_forward(
     v = v.reshape(B, S, G, D)
 
     if kv_write is None:
-        k_full, v_full = k, v
+        if past_kv is not None:
+            pk, pv = past_kv
+            k_full = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
+            v_full = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+        else:
+            k_full, v_full = k, v
         kv_out = (k_full, v_full)
     else:
         # write the S new positions into the FULL (L, B, Smax, G, D) cache
@@ -256,8 +275,15 @@ def block_forward(
                 )
             attn_in_tap = ctx.reshape(B, 1, G * Hg * D)
     else:
+        attn_drop = None
+        ffn_rng = None
+        if dropout is not None:
+            rate, rng = dropout
+            arng, ffn_rng = jax.random.split(rng)
+            attn_drop = (rate, arng)
         attn_in_tap = _attention_scores(
-            q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias
+            q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias,
+            dropout=attn_drop,
         )
     attn_out = quant_linear(attn_in_tap, layer_params["o_proj"], quant_type, rt)
     x = x + attn_out
@@ -266,6 +292,8 @@ def block_forward(
     gate_in = quant_linear(h2, layer_params["w_in_h"], quant_type, rt)
     gate = quant_linear(h2, layer_params["w_in_gate"], quant_type, rt)
     act = jax.nn.silu(gate_in) * gate
+    if dropout is not None and not isinstance(mask_bias, tuple):
+        act = _dropout(act, dropout[0], ffn_rng)
     ffn = quant_linear(act, layer_params["w_out"], quant_type, rt)
     x = x + ffn
     if collect_taps:
@@ -296,21 +324,50 @@ def build_parity_mask_and_positions(attention_mask: jax.Array, n_new: int):
 def forward(
     params: dict,
     config: ChatGLM2Config,
-    input_ids: jax.Array,                       # (B, S)
-    attention_mask: Optional[jax.Array] = None, # (B, S) 1/0
-    position_ids: Optional[jax.Array] = None,   # (B, S)
-    labels: Optional[jax.Array] = None,         # (B, S), −100 = ignore
+    input_ids: jax.Array,                       # (B, S_new)
+    attention_mask: Optional[jax.Array] = None, # (B, S_total) 1/0
+    position_ids: Optional[jax.Array] = None,   # (B, S_new)
+    labels: Optional[jax.Array] = None,         # (B, S_new), −100 = ignore
     quant_type: str = "none",
     dtype=jnp.float32,
     rt: TpuRuntimeConfig = _DEFAULT_RT,
+    past_key_values=None,
+    dropout_rng: Optional[jax.Array] = None,
+    return_kv: bool = False,
 ):
     """Full-sequence forward, reference semantics (model.py:329-392).
 
-    Returns (loss | None, logits (B, S, V) in activation dtype).
+    ``past_key_values`` reproduces the reference's stateless incremental
+    API: a tuple of per-layer ``(k, v)`` — each ``(B, T_past, G, D)`` or the
+    reference's ``(B, T_past, G, 1, D)`` — or a pre-stacked
+    ``(k (L,B,T,G,D), v)`` pair; the new tokens attend over past+new keys
+    with cumsum positions continuing past the prefix (model.py:297-318).
+
+    ``dropout_rng`` enables train-mode dropout at ``config.dropout_rate``
+    (embedding output, attention probs, FFN activation — model.py:369, :171,
+    :201); omit it for deterministic eval (nn.Dropout in eval mode).
+
+    Returns ``(loss | None, logits (B, S_new, V))``; with ``return_kv`` or a
+    ``past_key_values`` input, returns the reference's 3-tuple with
+    ``current_key_values`` (per-layer ``(B, T_total, G, 1, D)``) appended.
     """
     B, S = input_ids.shape
+    L = config.num_layers
+
+    past_k = past_v = None
+    if past_key_values is not None:
+        if isinstance(past_key_values, (tuple, list)):
+            def norm_kv(t):
+                t = jnp.asarray(t)
+                return t[:, :, :, 0, :] if t.ndim == 5 else t
+            past_k = jnp.stack([norm_kv(k) for k, _ in past_key_values])
+            past_v = jnp.stack([norm_kv(v) for _, v in past_key_values])
+        else:
+            past_k, past_v = past_key_values
+    n_past = 0 if past_k is None else past_k.shape[2]
+
     if attention_mask is None:
-        attention_mask = jnp.ones((B, S), jnp.int32)
+        attention_mask = jnp.ones((B, n_past + S), jnp.int32)
     mask_bias, pos = build_parity_mask_and_positions(attention_mask, S)
     if position_ids is not None:
         pos = position_ids
@@ -323,13 +380,31 @@ def forward(
     h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
     mask5 = mask_bias[:, None, None, :, :]
 
-    def scan_body(h, layer_params):
-        h, _ = block_forward(
-            layer_params, h, freqs_cis, mask5, config, quant_type, rt, kv_write=None
-        )
-        return h, None
+    rate = config.dropout_rate
+    use_drop = dropout_rng is not None and rate > 0
+    layer_rngs = None
+    if use_drop:
+        demb, dlayers = jax.random.split(dropout_rng)
+        h = _dropout(h, rate, demb)
+        layer_rngs = jax.random.split(dlayers, L)
 
-    h, _ = jax.lax.scan(scan_body, h, params["layers"])
+    collect_kv = return_kv or past_key_values is not None
+
+    def scan_body(h, inp):
+        layer_params, pkv, rng_l = inp
+        h, kv = block_forward(
+            layer_params, h, freqs_cis, mask5, config, quant_type, rt,
+            kv_write=None, past_kv=pkv,
+            dropout=(rate, rng_l) if rng_l is not None else None,
+        )
+        return h, (kv if collect_kv else None)
+
+    xs = (
+        params["layers"],
+        (past_k, past_v) if past_k is not None else None,
+        layer_rngs,
+    )
+    h, kvs = jax.lax.scan(scan_body, h, xs)
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
     logits = quant_linear(h, params["lm_head"], quant_type, rt)
@@ -337,6 +412,13 @@ def forward(
     loss = None
     if labels is not None:
         loss = cross_entropy_loss(logits, labels)
+    if collect_kv:
+        k_all, v_all = kvs
+        current = tuple(
+            (k_all[i][:, :, :, None, :], v_all[i][:, :, :, None, :])
+            for i in range(L)
+        )
+        return loss, logits, current
     return loss, logits
 
 

@@ -51,16 +51,20 @@ def make_train_step(
     → (trainable, opt_state, loss).  Jit/pjit-able."""
     rt = rt or TpuRuntimeConfig()
 
-    def loss_fn(trainable, frozen, input_ids, labels):
+    def loss_fn(trainable, frozen, input_ids, labels, dropout_rng):
         params = merge_params(trainable, frozen)
         loss, _ = M.forward(
             params, config, input_ids, labels=labels,
             quant_type=quant_type, dtype=dtype, rt=rt,
+            dropout_rng=dropout_rng,
         )
         return loss
 
-    def train_step(trainable, frozen, opt_state, input_ids, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, input_ids, labels)
+    def train_step(trainable, frozen, opt_state, input_ids, labels,
+                   dropout_rng=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, frozen, input_ids, labels, dropout_rng
+        )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss

@@ -5,6 +5,7 @@ no reference code ships in this package).
 Covers: dense fp32 forward, masked/padded batches, loss, int8 and int4g32
 quantized forwards, and quantizer-grid equality.
 """
+import dataclasses
 import sys
 
 import numpy as np
@@ -268,3 +269,72 @@ def test_prefill_decode_batch_ragged(ref_and_params):
             np.asarray(logits_p[i]), np.asarray(full[0, len(r) - 1]),
             rtol=2e-4, atol=2e-5,
         )
+
+
+def test_incremental_forward_past_kv(ref_and_params):
+    """The reference's stateless incremental API (model.py:329-392): forward
+    a prefix, then new tokens with past_key_values — parity against both the
+    torch reference's incremental outputs and our own full forward."""
+    cfg, model, params = ref_and_params
+    ids = np.array([[3, 17, 42, 7, 99, 12]], np.int64)
+    split = 4
+
+    # torch reference incremental pass
+    with torch.no_grad():
+        _, ref_pre, ref_kv = model(torch.tensor(ids[:, :split]))
+        _, ref_new, _ = model(
+            torch.tensor(ids[:, split:]), past_key_values=ref_kv
+        )
+
+    _, pre_logits, kv = M.forward(
+        params, cfg, jnp.asarray(ids[:, :split]), quant_type="none", rt=RT,
+        return_kv=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), ref_pre.numpy(), rtol=2e-4, atol=2e-5
+    )
+    assert len(kv) == cfg.num_layers
+    assert kv[0][0].shape == (1, split, cfg.num_multi_query_groups, 1,
+                              cfg.head_hidden_size)
+
+    out = M.forward(
+        params, cfg, jnp.asarray(ids[:, split:]), quant_type="none", rt=RT,
+        past_key_values=kv,
+    )
+    assert len(out) == 3  # reference 3-tuple shape with past input
+    _, new_logits, kv2 = out
+    np.testing.assert_allclose(
+        np.asarray(new_logits), ref_new.numpy(), rtol=2e-4, atol=2e-5
+    )
+    assert kv2[0][0].shape[1] == ids.shape[1]
+
+    # and against our own full-sequence forward
+    _, full_logits = M.forward(params, cfg, jnp.asarray(ids), quant_type="none", rt=RT)
+    np.testing.assert_allclose(
+        np.asarray(new_logits), np.asarray(full_logits[:, split:]),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_dropout_train_mode(ref_and_params):
+    """config.dropout_rate applies only when a dropout_rng is given
+    (reference nn.Dropout train vs eval, model.py:171,:201,:369)."""
+    cfg, _, params = ref_and_params
+    dcfg = dataclasses.replace(cfg, dropout_rate=0.5)
+    ids = jnp.asarray([[3, 17, 42, 7]])
+
+    _, eval_logits = M.forward(params, dcfg, ids, quant_type="none", rt=RT)
+    _, base_logits = M.forward(params, cfg, ids, quant_type="none", rt=RT)
+    np.testing.assert_array_equal(np.asarray(eval_logits), np.asarray(base_logits))
+
+    _, d1 = M.forward(params, dcfg, ids, quant_type="none", rt=RT,
+                      dropout_rng=jax.random.PRNGKey(0))
+    _, d2 = M.forward(params, dcfg, ids, quant_type="none", rt=RT,
+                      dropout_rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(d1), np.asarray(base_logits))
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+    # rate 0 with an rng stays exact
+    _, d0 = M.forward(params, cfg, ids, quant_type="none", rt=RT,
+                      dropout_rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(base_logits))
