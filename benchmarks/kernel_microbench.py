@@ -176,18 +176,20 @@ def bench_mode(mode):
                     "int4_convert_i8"):
         wbytes += (K // 32) * N * 4
 
-    @functools.partial(jax.jit, static_argnames="reps")
+    @jax.jit
     def run(x, w, s, reps):
-        def outer(x, _):
+        # dynamic trip count: ONE compiled program serves every chain
+        # length (remote compiles cost minutes on this deployment)
+        def outer(_, x):
             def body(x, wl):
                 wi, si = wl
                 y = matmul(mode, x, wi, si)
                 return (y * 1e-2).astype(jnp.bfloat16), None
 
             x, _ = jax.lax.scan(body, x, (w, s))
-            return x, None
+            return x
 
-        x, _ = jax.lax.scan(outer, x, None, length=reps)
+        x = jax.lax.fori_loop(0, reps, outer, x)
         return x.sum()
 
     per = slope_time(lambda n: force(run(x, w, s, n)), 2, 8) / L

@@ -83,7 +83,7 @@ def main():
     vc = jax.random.normal(jax.random.PRNGKey(9), (B, T, G_, D), jnp.bfloat16)
     lengths = jnp.asarray([100, 1000], jnp.int32)
     sm = 1.0 / np.sqrt(D)
-    got = PA.flash_attention_decode(qd, kc, vc, lengths, sm)
+    got = PA.flash_attention_decode(qd, kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3), lengths, sm)
     s = jnp.einsum("bghd,btgd->bght", qd.astype(jnp.float32), kc.astype(jnp.float32)) * sm
     m = jnp.arange(T)[None, :] <= lengths[:, None]
     want = jnp.einsum("bght,btgd->bghd",
@@ -97,7 +97,7 @@ def main():
     kp = jax.random.normal(jax.random.PRNGKey(11), (1, S, G_, D), jnp.bfloat16)
     vp = jax.random.normal(jax.random.PRNGKey(12), (1, S, G_, D), jnp.bfloat16)
     lengths = jnp.asarray([S], jnp.int32)
-    got = PA.flash_attention_prefill(qp, kp, vp, lengths, sm)
+    got = PA.flash_attention_prefill(qp, kp.transpose(0, 2, 1, 3), vp.transpose(0, 2, 1, 3), lengths, sm)
     s = jnp.einsum("bsghd,btgd->bghst", qp.astype(jnp.float32), kp.astype(jnp.float32)) * sm
     tq = jnp.arange(S)[:, None]
     tk = jnp.arange(S)[None, :]

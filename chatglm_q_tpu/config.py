@@ -125,6 +125,15 @@ class TpuRuntimeConfig:
     # Matmul M-dimension at or below which the fused (bandwidth-bound) decode
     # kernels are used; above it, prefill-style dequant-then-matmul is used.
     decode_m_threshold: int = 128
+    # Sequence-shard the KV cache over the model axis (requires mesh):
+    # per-chip KV bytes/token drop tp×; decode merges per-shard flash
+    # partials (ops/pallas_attention.flash_attention_decode_kv_tsharded).
+    # Prefill then uses the XLA attention path (GSPMD-partitioned).
+    kv_shard_t: bool = False
+    # O(length)-DMA ragged decode kernel (flash_attention_decode_v2):
+    # manual double-buffered HBM reads with a dynamic trip count, enabled by
+    # the (L, B, G, T, D) cache layout's contiguous per-group rows.
+    decode_attn_v2: bool = False
     # Flash-attention block sizes.
     attn_block_q: int = 256
     attn_block_k: int = 512

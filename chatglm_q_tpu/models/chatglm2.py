@@ -97,13 +97,19 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 @flax.struct.dataclass
 class KVCache:
-    k: jax.Array        # (L, B, S_max, G, D)
-    v: jax.Array        # (L, B, S_max, G, D)
+    """Layout (L, B, G, S_max, D): the sequence dim is adjacent to the head
+    dim so a decode step's per-(batch, group) KV reads are contiguous
+    (T, D)=(T, 128) row-ranges — full-width HBM DMAs for the O(length)
+    ragged decode kernel, and no per-step relayout before the Pallas
+    attention kernels (a (B, T, G, D) layout forces a whole-cache transpose
+    copy every decode step, measured round 1)."""
+    k: jax.Array        # (L, B, G, S_max, D)
+    v: jax.Array        # (L, B, G, S_max, D)
     lengths: jax.Array  # (B,) int32 — number of valid cached positions per row
 
     @property
     def max_length(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(
@@ -119,7 +125,7 @@ def init_kv_cache(
     G = config.num_multi_query_groups
     D = config.head_hidden_size
     S = max_length or config.max_sequence_length
-    shape = (L, batch_size, S, G, D)
+    shape = (L, batch_size, G, S, D)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -137,28 +143,30 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
-def _attention_scores(q, k, v, mask_bias, dropout=None):
-    """q (B,S,G,Hg,D), k/v (B,T,G,{1|
-    }..,D) grouped MQA attention with additive
+def _attention_scores(q, k, v, mask_bias, dropout=None, kv_layout="btgd"):
+    """q (B,S,G,Hg,D); k/v (B,T,G,D) (parity, ``btgd``) or the serving
+    cache layout (B,G,T,D) (``bgtd``).  Grouped MQA attention with additive
     mask bias (B,1,1,S,T); softmax in fp32 (model.py:163-173); optional
     attention-prob dropout (model.py:171)."""
     B, S, G, Hg, D = q.shape
     q = q / jnp.asarray(np.sqrt(D), q.dtype)
+    kv_sub = "btgd" if kv_layout == "btgd" else "bgtd"
     # scores (B, G, Hg, S, T)
-    scores = jnp.einsum("bsghd,btgd->bghst", q, k)
+    scores = jnp.einsum(f"bsghd,{kv_sub}->bghst", q, k)
     scores = scores.astype(jnp.float32) + mask_bias
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     if dropout is not None:
         probs = _dropout(probs, *dropout)
-    out = jnp.einsum("bghst,btgd->bsghd", probs, v)
+    out = jnp.einsum(f"bghst,{kv_sub}->bsghd", probs, v)
     return out.reshape(B, S, G * Hg * D)
 
 
 def _scatter_large(cache, new, layer_idx, start):
-    """Large-batch KV write: scatter rows of one layer slab in place."""
+    """Large-batch KV write: scatter rows of one layer slab in place.
+    cache (L, B, G, T, D); new (B, G, S, D); start (B,)."""
     slab = jax.lax.dynamic_index_in_dim(cache, layer_idx, 0, keepdims=False)
     slab = jax.vmap(
-        lambda c, n, s0: jax.lax.dynamic_update_slice(c, n, (s0, 0, 0))
+        lambda c, n, s0: jax.lax.dynamic_update_slice(c, n, (0, s0, 0))
     )(slab, new, start)
     return jax.lax.dynamic_update_index_in_dim(cache, slab, layer_idx, 0)
 
@@ -217,12 +225,14 @@ def block_forward(
             k_full, v_full = k, v
         kv_out = (k_full, v_full)
     else:
-        # write the S new positions into the FULL (L, B, Smax, G, D) cache
+        # write the S new positions into the FULL (L, B, G, Smax, D) cache
         # carried through the layer scan at (layer, row, start_row) — tiny
         # in-place index updates, never a whole-cache rewrite (stacking the
         # cache through scan ys copies all L×B×Smax slots every step: at
         # batch 8 × 8K context that is ~3.8 GB per token, measured).
         ck, cv, layer_idx, start = kv_write
+        kw = k.transpose(0, 2, 1, 3)  # (B, G, S, D) — matches cache layout
+        vw = v.transpose(0, 2, 1, 3)
 
         def upd_all(cache, new):
             if new.dtype != cache.dtype:  # trace-time: avoid no-op casts
@@ -234,16 +244,16 @@ def block_forward(
                 for b in range(Bc):
                     cache = jax.lax.dynamic_update_slice(
                         cache, new[None, b : b + 1],
-                        (layer_idx, b, start[b], 0, 0),
+                        (layer_idx, b, 0, start[b], 0),
                     )
                 return cache
             return _scatter_large(cache, new, layer_idx, start)
 
-        ck = upd_all(ck, k)
-        cv = upd_all(cv, v)
+        ck = upd_all(ck, kw)
+        cv = upd_all(cv, vw)
         k_full = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
-        kv_out = (ck, cv)
+        kv_out = (ck, cv)  # k_full/v_full are (B, G, T, D)
 
     if isinstance(mask_bias, tuple):
         # serving fast path: Pallas flash/ragged attention, mask from lengths
@@ -265,9 +275,17 @@ def block_forward(
                 )
             attn_in_tap = ctx.reshape(B, S, G * Hg * D)
         else:  # flash_decode: S == 1
-            if rt.mesh is not None:
+            if rt.mesh is not None and rt.kv_shard_t:
+                ctx = PA.flash_attention_decode_kv_tsharded(
+                    q[:, 0], kc, vc, lengths, sm_scale, rt.mesh, rt.attn_block_k
+                )
+            elif rt.mesh is not None:
                 ctx = PA.flash_attention_decode_sharded(
                     q[:, 0], kc, vc, lengths, sm_scale, rt.mesh, rt.attn_block_k
+                )
+            elif rt.decode_attn_v2:
+                ctx = PA.flash_attention_decode_v2(
+                    q[:, 0], kc, vc, lengths, sm_scale, rt.attn_block_k
                 )
             else:
                 ctx = PA.flash_attention_decode(
@@ -284,6 +302,7 @@ def block_forward(
         attn_in_tap = _attention_scores(
             q, k_full.astype(q.dtype), v_full.astype(q.dtype), mask_bias,
             dropout=attn_drop,
+            kv_layout="btgd" if kv_write is None else "bgtd",
         )
     attn_out = quant_linear(attn_in_tap, layer_params["o_proj"], quant_type, rt)
     x = x + attn_out
@@ -492,10 +511,12 @@ def prefill(
 
     h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
 
-    if rt.flash_enabled():
+    if rt.flash_enabled() and not rt.kv_shard_t:
         # Pallas blockwise causal attention over the freshly written cache
         # (only the first S cache slots are ever addressed: causality bounds
-        # every query's keys to slots < S)
+        # every query's keys to slots < S).  With a T-sharded cache
+        # (kv_shard_t) prefill takes the XLA path: GSPMD partitions the
+        # masked attention einsum over the sequence shards itself.
         mask5 = ("flash_prefill", lengths.astype(jnp.int32))
     else:
         # query t attends cache slots j ≤ t (cache slot j holds token j)

@@ -107,8 +107,8 @@ def _prefill_kernel(
 
 def flash_attention_prefill(
     q: jax.Array,        # (B, S, G, Hg, D)
-    k: jax.Array,        # (B, S, G, D)
-    v: jax.Array,        # (B, S, G, D)
+    k: jax.Array,        # (B, G, T, D) — serving cache layout, T ≥ S
+    v: jax.Array,        # (B, G, T, D)
     lengths: jax.Array,  # (B,) int32
     sm_scale: float,
     block_q: int = 256,
@@ -119,7 +119,8 @@ def flash_attention_prefill(
 
     Returns (B, S, G, Hg, D).  Query position s attends kv positions ≤ s
     that are < lengths[b] (matching the serving-mode mask in
-    models/chatglm2.py prefill).
+    models/chatglm2.py prefill).  K/V arrive in the cache's (B, G, T, D)
+    layout — no relayout copy on the way into the kernel.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -135,8 +136,8 @@ def flash_attention_prefill(
 
     # fold heads into q rows: (B, G, S, Hg, D) → (B, G, S*Hg, D)
     qf = q.transpose(0, 2, 1, 3, 4).reshape(B, G, S * Hg, D)
-    kf = k.transpose(0, 2, 1, 3)  # (B, G, S, D)
-    vf = v.transpose(0, 2, 1, 3)
+    kf = k
+    vf = v
 
     grid = (B, G, S // bq, S // bk)
     out = pl.pallas_call(
@@ -182,13 +183,15 @@ def _decode_kernel(
     k_ref,        # (1, 1, bk, D)
     v_ref,        # (1, 1, bk, D)
     o_ref,        # (1, 1, Hg, D)
-    m_ref,
-    l_ref,
-    acc_ref,
-    *,
+    *rest,        # [m_out (1,1,Hg,128), l_out] when return_lse; scratches
     bk: int,
     sm_scale: float,
+    return_lse: bool = False,
 ):
+    if return_lse:
+        m_out, l_out, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     ki = pl.program_id(2)
 
@@ -231,36 +234,50 @@ def _decode_kernel(
         l = l_ref[...][:, :1]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        if return_lse:
+            m_out[0, 0] = m_ref[...]
+            l_out[0, 0] = l_ref[...]
 
 
 def flash_attention_decode(
     q: jax.Array,        # (B, G, Hg, D) — one new token per row
-    k: jax.Array,        # (B, T, G, D) cache (current token already written)
-    v: jax.Array,        # (B, T, G, D)
+    k: jax.Array,        # (B, G, T, D) cache (current token already written)
+    v: jax.Array,        # (B, G, T, D)
     lengths: jax.Array,  # (B,) int32 — cache length BEFORE this token
     sm_scale: float,
     block_k: int = 512,
     interpret: bool | None = None,
-) -> jax.Array:
+    return_lse: bool = False,
+):
     """Ragged decode attention: row b attends cache slots ≤ lengths[b].
 
     KV blocks beyond the valid length are skipped, making the per-token
-    cost O(length) instead of O(T).  Returns (B, G, Hg, D).
+    cost O(length) instead of O(T).  Returns (B, G, Hg, D); with
+    ``return_lse`` also the online-softmax running max ``m`` and sum ``l``
+    (each (B, G, Hg)) so partial results over a sequence-sharded cache can
+    be merged exactly (flash_attention_decode_kv_tsharded).
     """
     if interpret is None:
         interpret = not _is_tpu()
     B, G, Hg, D = q.shape
-    T = k.shape[1]
+    T = k.shape[2]
     bk = min(block_k, T)
     while T % bk:
         bk //= 2
 
-    kf = k.transpose(0, 2, 1, 3)  # (B, G, T, D)
-    vf = v.transpose(0, 2, 1, 3)
-
     grid = (B, G, T // bk)
-    out = pl.pallas_call(
-        functools.partial(_decode_kernel, bk=bk, sm_scale=sm_scale),
+    out_specs = [pl.BlockSpec((1, 1, Hg, D), lambda b, g, ki, *_: (b, g, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype)]
+    if return_lse:
+        out_specs += [
+            pl.BlockSpec((1, 1, Hg, 128), lambda b, g, ki, *_: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, Hg, 128), lambda b, g, ki, *_: (b, g, 0, 0)),
+        ]
+        out_shapes += [jax.ShapeDtypeStruct((B, G, Hg, 128), jnp.float32)] * 2
+
+    res = pl.pallas_call(
+        functools.partial(_decode_kernel, bk=bk, sm_scale=sm_scale,
+                          return_lse=return_lse),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -269,20 +286,23 @@ def flash_attention_decode(
                 pl.BlockSpec((1, 1, bk, D), lambda b, g, ki, *_: (b, g, ki, 0)),
                 pl.BlockSpec((1, 1, bk, D), lambda b, g, ki, *_: (b, g, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, Hg, D), lambda b, g, ki, *_: (b, g, 0, 0)),
+            out_specs=tuple(out_specs) if return_lse else out_specs[0],
             scratch_shapes=[
                 pltpu.VMEM((Hg, 128), jnp.float32),
                 pltpu.VMEM((Hg, 128), jnp.float32),
                 pltpu.VMEM((Hg, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
+        out_shape=tuple(out_shapes) if return_lse else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), q, kf, vf)
-    return out
+    )(lengths.astype(jnp.int32), q, k, v)
+    if return_lse:
+        out, m, l = res
+        return out, m[..., 0], l[..., 0]
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -354,11 +374,8 @@ def flash_attention_decode_sharded(
 # ---------------------------------------------------------------------------
 # Decode v2: O(length) KV reads via manual double-buffered DMA with a
 # dynamic in-kernel trip count (paged-attention structure over contiguous
-# "pages").  NOT currently the default: measured slower than the grid
-# kernel at 8K context / short lengths (per-(b,g)-program overhead plus
-# 50%-efficient strided row DMAs — the (B, T, G·D) layout reads 256 B of
-# every 512 B row).  It becomes the right structure once the cache layout
-# moves to (B, G, T, D) (contiguous per-group rows) — round-2 item.
+# "pages").  The (B, G, T, D) cache layout makes every DMA a contiguous
+# full-width (bk, D) row range.  Enabled via TpuRuntimeConfig.decode_attn_v2.
 # ---------------------------------------------------------------------------
 
 def _decode_v2_kernel(lengths_ref, q_ref, k_hbm, v_hbm, o_ref,
@@ -369,14 +386,13 @@ def _decode_v2_kernel(lengths_ref, q_ref, k_hbm, v_hbm, o_ref,
     n_blocks = jax.lax.div(n_valid + bk - 1, bk)
 
     def dmas(slot, blk):
-        # K/V are (B, T, G*D): the G slice is a 128-aligned lane range
-        # (slicing a (…, G, D) layout's G dim is illegal — it sits inside
-        # the (2, 128) tile)
+        # K/V are (B, G, T, D): per-(b, g) reads are contiguous full-width
+        # (bk, D) row ranges — 100%-efficient HBM DMA (the old (B, T, G·D)
+        # layout strided every row at 50% efficiency, docs/RESULTS.md)
         rows = pl.ds(blk * bk, bk)
-        cols = pl.ds(g * d, d)
         return (
-            pltpu.make_async_copy(k_hbm.at[b, rows, cols], kbuf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(v_hbm.at[b, rows, cols], vbuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(k_hbm.at[b, g, rows, :], kbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[b, g, rows, :], vbuf.at[slot], sems.at[slot, 1]),
         )
 
     for dma in dmas(0, 0):
@@ -426,21 +442,21 @@ def flash_attention_decode_v2(
 ):
     """Ragged decode attention with O(length) HBM reads.
 
-    Same semantics as flash_attention_decode; K/V stay in HBM and only the
-    blocks below each row's length are DMA'd.  The sm_scale is folded into
-    q before the kernel (one (B,G,Hg,D) multiply).
+    Same semantics as flash_attention_decode; K/V ((B, G, T, D)) stay in
+    HBM and only the blocks below each row's length are DMA'd.  The
+    sm_scale is folded into q before the kernel (one (B,G,Hg,D) multiply).
     """
     if interpret is None:
         interpret = not _is_tpu()
     B, G, Hg, D = q.shape
-    T = k.shape[1]
+    T = k.shape[2]
     bk = min(block_k, T)
     while T % bk:
         bk //= 2
 
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-    kf = k.reshape(B, T, G * D)
-    vf = v.reshape(B, T, G * D)
+    kf = k
+    vf = v
 
     out = pl.pallas_call(
         functools.partial(_decode_v2_kernel, bk=bk, t_total=T, hg=Hg, d=D),
@@ -467,3 +483,66 @@ def flash_attention_decode_v2(
         interpret=interpret,
     )(lengths.astype(jnp.int32), qs, kf, vf)
     return out
+
+
+def flash_attention_decode_kv_tsharded(
+    q, k, v, lengths, sm_scale, mesh, block_k=512,
+    data_axis="data", model_axis="model", interpret=None,
+):
+    """Ragged decode attention over a SEQUENCE-sharded KV cache.
+
+    K/V (B, G, T, D) are sharded T over the ``model`` axis — each chip holds
+    T/tp of the cache, so per-chip KV bytes/token drop tp× (the north-star
+    8K-context configs are KV-bandwidth bound; replicating KV under TP reads
+    the full cache on every chip).  q (B, G, Hg, D) is replicated over
+    ``model`` (a few KB at decode).  Each chip runs the ragged flash kernel
+    over its local slice with a shifted validity window, then the partial
+    (out, m, l) online-softmax states merge exactly with a log-sum-exp
+    combine over a tp-sized all-gather (ICI traffic: tp·B·G·Hg·(D+2) floats
+    per step — negligible next to the KV reads saved).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tp = sizes.get(model_axis, 1)
+    B, G, Hg, D = q.shape
+    T = k.shape[2]
+    if tp == 1 or T % tp or (T // tp) % 8:
+        return flash_attention_decode(q, k, v, lengths, sm_scale, block_k,
+                                      interpret=interpret)
+    t_local = T // tp
+
+    def local_fn(q, k, v, lengths):
+        # k/v here are the per-device (B, G, T/tp, D) slices
+        idx = jax.lax.axis_index(model_axis)
+        offset = idx * t_local
+        n_valid_global = lengths + 1
+        n_valid_local = jnp.clip(n_valid_global - offset, 0, t_local)
+        out, m, l = flash_attention_decode(
+            q, k, v, n_valid_local - 1, sm_scale, block_k,
+            interpret=interpret, return_lse=True,
+        )
+        # exact online-softmax merge of the tp partials
+        m_all = jax.lax.all_gather(m, model_axis)            # (tp, B, G, Hg)
+        l_all = jax.lax.all_gather(l, model_axis)
+        o_all = jax.lax.all_gather(out.astype(jnp.float32), model_axis)
+        m_max = jnp.max(m_all, axis=0)
+        w = l_all * jnp.exp(m_all - m_max[None])             # 0 where l==0
+        den = jnp.maximum(w.sum(0), 1e-30)
+        merged = (o_all * w[..., None]).sum(0) / den[..., None]
+        return merged.astype(q.dtype)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None, None, None),
+            P(data_axis, None, model_axis, None),
+            P(data_axis, None, model_axis, None),
+            P(data_axis),
+        ),
+        out_specs=P(data_axis, None, None, None),
+        check_rep=False,
+    )
+    return fn(q, k, v, lengths)

@@ -130,13 +130,18 @@ def param_pspecs(config: ChatGLM2Config, quant_type: str, params: dict) -> dict:
     }
 
 
-def kv_cache_pspecs():
-    """KVCache (k, v, lengths) specs: batch over data axis."""
+def kv_cache_pspecs(shard_t: bool = False):
+    """KVCache (k, v, lengths) specs for the (L, B, G, T, D) layout: batch
+    over the data axis; with ``shard_t`` the sequence dim additionally
+    shards over the model axis (each chip holds T/tp of the cache — the
+    long-context KV-bandwidth fix; see
+    ops/pallas_attention.flash_attention_decode_kv_tsharded)."""
     from ..models.chatglm2 import KVCache
 
+    t_ax = MODEL_AXIS if shard_t else None
     return KVCache(
-        k=P(None, DATA_AXIS, None, None, None),
-        v=P(None, DATA_AXIS, None, None, None),
+        k=P(None, DATA_AXIS, None, t_ax, None),
+        v=P(None, DATA_AXIS, None, t_ax, None),
         lengths=P(DATA_AXIS),
     )
 

@@ -1,0 +1,111 @@
+"""Continuous batching over a (data, model) device mesh — multi-host serving.
+
+BASELINE config 5 ("continuous batching scheduled across hosts") the TPU
+way: there is no per-host request queue shuffling tokens over sockets —
+the whole engine state (KV cache, per-slot lengths, last tokens) is ONE
+global jit program over the mesh, with the batch dimension sharded over
+``data`` and the weights tensor-parallel over ``model`` (GSPMD inserts the
+ICI collectives).  Every host executes the same SPMD steps; the scheduler
+is deterministic, so hosts stay in lockstep without explicit coordination
+messages:
+
+* **slot → shard mapping**: batch slots are statically partitioned into
+  ``data``-axis groups (slot b lives on shard b // (B / n_data)); the
+  admission scheduler balances new requests across groups so no data shard
+  idles while another is saturated;
+* **admission**: a prefill + ``dynamic_update_slice`` into the global
+  cache — GSPMD turns the slot-row update into work on the owning shard;
+* **decode**: the inherited in-graph chunked decode, now sharded — per-chunk
+  host work is one dispatch per chunk regardless of host count;
+* **multi-process**: with ``jax.distributed`` initialized, host 0 is the
+  request front-end and broadcasts (request_id, prompt) batches via
+  ``multihost_utils.broadcast_one_to_all`` so every process submits the
+  same sequence (``sync_submissions``); single-process multi-device runs
+  (this repo's tests, one-process TPU slices) need no broadcast.
+
+The round-1 engine (engine.py) remains the single-host fast path; this
+class only adds placement and scheduling policy on top of it.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import GLMLoadConfig, TpuRuntimeConfig
+from ..parallel import sharding as S
+from .engine import ServingEngine, Request
+
+
+class DistributedServingEngine(ServingEngine):
+    def __init__(
+        self,
+        config: GLMLoadConfig,
+        params: dict,
+        tokenizer=None,
+        *,
+        mesh: Mesh,
+        max_batch: int = 8,
+        rt: Optional[TpuRuntimeConfig] = None,
+        **kwargs,
+    ):
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self.n_data = sizes.get(S.DATA_AXIS, 1)
+        assert max_batch % self.n_data == 0, (
+            f"max_batch {max_batch} must divide over data axis {self.n_data}"
+        )
+        self.mesh = mesh
+        if rt is None:
+            rt = TpuRuntimeConfig(mesh=mesh)
+        super().__init__(config, params, tokenizer, max_batch=max_batch,
+                         rt=rt, **kwargs)
+        # shard the engine cache: batch over data, replicated over model
+        kv_shardings = jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec), S.kv_cache_pspecs()
+        )
+        self.cache = jax.tree.map(jax.device_put, self.cache, kv_shardings)
+
+    # -- scheduling ------------------------------------------------------
+
+    @property
+    def _group_size(self) -> int:
+        return self.max_batch // self.n_data
+
+    def _shard_of(self, slot_idx: int) -> int:
+        return slot_idx // self._group_size
+
+    def _admit(self):
+        """Balance admissions across data-shard slot groups: fill the group
+        with the fewest active slots first (the base class fills slots in
+        index order, which would pile work onto data shard 0)."""
+        while self.queue:
+            active = [0] * self.n_data
+            free: list[list[int]] = [[] for _ in range(self.n_data)]
+            for idx, slot in enumerate(self.slots):
+                g = self._shard_of(idx)
+                if slot.request is not None:
+                    active[g] += 1
+                else:
+                    free[g].append(idx)
+            candidates = [g for g in range(self.n_data) if free[g]]
+            if not candidates:
+                return
+            g = min(candidates, key=lambda g: active[g])
+            self._admit_into_slot(free[g][0], self.queue.pop(0))
+
+    def sync_submissions(self, requests: Optional[list] = None, **kwargs):
+        """Multi-process request ingestion: host 0 passes its pending
+        request list; every process receives the same (id, prompt) batch
+        and submits it locally, keeping the SPMD loops in lockstep."""
+        if jax.process_count() == 1:
+            for prompt in requests or []:
+                self.submit(prompt, **kwargs)
+            return
+        from jax.experimental import multihost_utils
+
+        payload = requests if jax.process_index() == 0 else None
+        payload = multihost_utils.broadcast_one_to_all(payload)
+        for prompt in payload or []:
+            self.submit(list(prompt), **kwargs)

@@ -175,37 +175,40 @@ class ServingEngine:
         for slot_idx, slot in enumerate(self.slots):
             if slot.request is not None or not self.queue:
                 continue
-            req = self.queue.pop(0)
-            # keep the most recent context, reserving generation room (like
-            # decoder.py): a budget ≥ max_seq_len must not slice the prompt
-            # to nothing (negative-start slice turning positive)
-            reserve = max(1, min(req.max_new_tokens, 64))
-            keep = max(1, self.max_seq_len - reserve)
-            ids = req.prompt_ids[-keep:]
-            bucket = self._bucket(len(ids))
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, : len(ids)] = ids
-            logits, self.cache = self._prefill_into_slot(
-                self.params, self.cache, jnp.asarray(padded),
-                jnp.int32(len(ids)), jnp.int32(slot_idx), bucket=bucket,
-            )
-            self._rng, sub = jax.random.split(self._rng)
-            if req.temperature > 0:
-                tok = int(top_p_sampling(sub, logits, req.top_k,
-                                         req.top_p, req.temperature))
-            else:
-                tok = int(greedy_sampling(logits))
-            req.generated.append(tok)
-            slot.request = req
-            slot.budget = req.max_new_tokens - 1
-            self._last_tok[slot_idx] = tok
-            self._host_lengths[slot_idx] = len(ids)
-            self.stats["admitted"] += 1
-            self.stats["generated_tokens"] += 1
-            if self.logger:
-                self.logger.log("admit", req_id=req.req_id, slot=slot_idx,
-                                prompt_len=len(ids), bucket=bucket)
-            self._maybe_finish(slot_idx)
+            self._admit_into_slot(slot_idx, self.queue.pop(0))
+
+    def _admit_into_slot(self, slot_idx: int, req: Request):
+        slot = self.slots[slot_idx]
+        # keep the most recent context, reserving generation room (like
+        # decoder.py): a budget ≥ max_seq_len must not slice the prompt
+        # to nothing (negative-start slice turning positive)
+        reserve = max(1, min(req.max_new_tokens, 64))
+        keep = max(1, self.max_seq_len - reserve)
+        ids = req.prompt_ids[-keep:]
+        bucket = self._bucket(len(ids))
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, : len(ids)] = ids
+        logits, self.cache = self._prefill_into_slot(
+            self.params, self.cache, jnp.asarray(padded),
+            jnp.int32(len(ids)), jnp.int32(slot_idx), bucket=bucket,
+        )
+        self._rng, sub = jax.random.split(self._rng)
+        if req.temperature > 0:
+            tok = int(top_p_sampling(sub, logits, req.top_k,
+                                     req.top_p, req.temperature))
+        else:
+            tok = int(greedy_sampling(logits))
+        req.generated.append(tok)
+        slot.request = req
+        slot.budget = req.max_new_tokens - 1
+        self._last_tok[slot_idx] = tok
+        self._host_lengths[slot_idx] = len(ids)
+        self.stats["admitted"] += 1
+        self.stats["generated_tokens"] += 1
+        if self.logger:
+            self.logger.log("admit", req_id=req.req_id, slot=slot_idx,
+                            prompt_len=len(ids), bucket=bucket)
+        self._maybe_finish(slot_idx)
 
     def _maybe_finish(self, slot_idx: int):
         slot = self.slots[slot_idx]

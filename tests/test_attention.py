@@ -37,7 +37,8 @@ def test_prefill_kernel_vs_oracle():
         "bghst,btgd->bsghd",
         jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), axis=-1), v,
     )
-    out = flash_attention_prefill(q, k, v, lengths, sm, 8, 16, interpret=True)
+    out = flash_attention_prefill(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                                  lengths, sm, 8, 16, interpret=True)
     valid = np.asarray(jnp.arange(S)[None, :] < lengths[:, None])
     np.testing.assert_allclose(
         np.asarray(out)[valid], np.asarray(ref)[valid], rtol=1e-5, atol=1e-5
@@ -58,7 +59,8 @@ def test_decode_kernel_vs_oracle_ragged():
         "bght,btgd->bghd",
         jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), axis=-1), v,
     )
-    out = flash_attention_decode(q, k, v, lengths, sm, 16, interpret=True)
+    out = flash_attention_decode(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                                 lengths, sm, 16, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
@@ -149,5 +151,31 @@ def test_decode_v2_kernel_vs_oracle_ragged():
         "bght,btgd->bghd",
         jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), axis=-1), v,
     )
-    out = flash_attention_decode_v2(q, k, v, lengths, sm, 16, interpret=True)
+    out = flash_attention_decode_v2(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                                    lengths, sm, 16, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_serving_path_decode_v2_matches_xla():
+    """decode_attn_v2 (O(length)-DMA kernel) through the full serving path."""
+    rt_v2 = TpuRuntimeConfig(use_pallas=False, use_flash_attention=True,
+                             decode_attn_v2=True)
+    params = M.init_params(jax.random.PRNGKey(0), CFG, "none", jnp.float32)
+    ids = jnp.asarray([[3, 17, 42, 99, 5], [7, 9, 11, 0, 0]])
+    lengths = jnp.asarray([5, 3], jnp.int32)
+
+    def run(rt):
+        cache = M.init_kv_cache(CFG, 2, 16, jnp.float32)
+        logits, cache = M.prefill(params, CFG, ids, lengths, cache,
+                                  "none", jnp.float32, rt)
+        out = [logits]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(3):
+            logits, cache = M.decode_step(params, CFG, tok, cache,
+                                          "none", jnp.float32, rt)
+            out.append(logits)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return out
+
+    for a, b in zip(run(RT_XLA), run(rt_v2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)

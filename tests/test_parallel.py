@@ -206,3 +206,105 @@ def test_engine_sharded_with_flash():
                              max_seq_len=64, decode_chunk=4, rt=rt_flash)
         tp_out = eng2.run(prompts, max_new_tokens=4, temperature=0.0)
     assert ref_out == tp_out
+
+
+def test_distributed_engine_cross_shard_batching():
+    """Cross-host continuous batching mechanism (BASELINE config 5) on the
+    virtual mesh: data axis > 1, slots owned by different data shards,
+    admissions balanced across shards, tokens exact vs the plain engine."""
+    from chatglm_q_tpu.config import GLMLoadConfig
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.dist_engine import DistributedServingEngine
+
+    quant_type = "int8"
+    params = M.init_params(jax.random.PRNGKey(21), CFG, quant_type, jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, quant_type=quant_type,
+                             torch_dtype="float32")
+    prompts = [[3, 17, 42], [7, 9, 11, 13], [5, 6], [101, 102, 103]]
+
+    eng = ServingEngine(load_cfg, params, None, max_batch=4, max_seq_len=64,
+                        decode_chunk=4, rt=RT)
+    ref_out = eng.run(prompts, max_new_tokens=5, temperature=0.0)
+
+    mesh = S.make_mesh(2, 4)
+    sharded = S.shard_params(params, mesh, CFG, quant_type)
+    with mesh:
+        deng = DistributedServingEngine(
+            load_cfg, sharded, None, mesh=mesh, max_batch=4, max_seq_len=64,
+            decode_chunk=4, rt=TpuRuntimeConfig(use_pallas=False),
+        )
+        # submit 2 of 4: the balancer must place them on DIFFERENT data shards
+        deng.sync_submissions(prompts[:2], max_new_tokens=5, temperature=0.0)
+        deng._admit()
+        owners = {deng._shard_of(i) for i, s in enumerate(deng.slots)
+                  if s.request is not None}
+        assert owners == {0, 1}, owners
+        deng.sync_submissions(prompts[2:], max_new_tokens=5, temperature=0.0)
+        while deng.has_work:
+            deng.step()
+        by_id = {r.req_id: r.generated for r in deng.finished}
+        dist_out = [by_id[i] for i in sorted(by_id)]
+    assert ref_out == dist_out
+
+
+def test_decode_kv_tsharded_matches_single_device():
+    """Sequence-sharded KV cache (kv_shard_t): per-shard flash partials +
+    log-sum-exp merge must match the unsharded decode exactly; per-chip KV
+    bytes drop tp× by construction (cache T dim sharded over model)."""
+    quant_type = "none"
+    params = M.init_params(jax.random.PRNGKey(30), CFG, quant_type, jnp.float32)
+    prompt = jax.random.randint(jax.random.PRNGKey(31), (2, 8), 0, CFG.vocab_size)
+    lengths = jnp.asarray([8, 5], jnp.int32)
+
+    def run(rt, mesh=None, shard_t=False):
+        cache = M.init_kv_cache(CFG, 2, 64, jnp.float32)
+        if mesh is not None:
+            cache = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                cache, S.kv_cache_pspecs(shard_t=shard_t),
+            )
+        logits, cache = M.prefill(params_in, CFG, prompt, lengths, cache,
+                                  quant_type, jnp.float32, rt)
+        out = [np.asarray(logits)]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(4):
+            logits, cache = M.decode_step(params_in, CFG, tok, cache,
+                                          quant_type, jnp.float32, rt)
+            out.append(np.asarray(logits))
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return out
+
+    params_in = params
+    ref = run(TpuRuntimeConfig(use_pallas=False, use_flash_attention=False))
+
+    mesh = S.make_mesh(2, 4)
+    params_in = S.shard_params(params, mesh, CFG, quant_type)
+    # cache (L,B,G,T,D): T=64 over model=4 → 16 per chip (8-aligned)
+    rt = TpuRuntimeConfig(use_pallas=False, use_flash_attention=True,
+                          mesh=mesh, kv_shard_t=True)
+    with mesh:
+        sharded = run(rt, mesh, shard_t=True)
+    for a, b in zip(ref, sharded):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+
+
+def test_tsharded_kernel_merge_exactness():
+    """flash_attention_decode_kv_tsharded vs the plain kernel on the same
+    data — merge of per-shard online-softmax partials is exact."""
+    from chatglm_q_tpu.ops.pallas_attention import (
+        flash_attention_decode, flash_attention_decode_kv_tsharded)
+
+    B, T, G, Hg, D = 2, 64, 2, 4, 128
+    q = jax.random.normal(jax.random.PRNGKey(40), (B, G, Hg, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(41), (B, G, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(42), (B, G, T, D), jnp.float32)
+    lengths = jnp.asarray([3, 60], jnp.int32)  # one row confined to shard 0
+    sm = 1.0 / np.sqrt(D)
+
+    ref = flash_attention_decode(q, k, v, lengths, sm, 16, interpret=True)
+    mesh = S.make_mesh(2, 4)
+    with mesh:
+        got = flash_attention_decode_kv_tsharded(
+            q, k, v, lengths, sm, mesh, 16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
