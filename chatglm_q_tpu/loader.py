@@ -70,7 +70,11 @@ def _linear_from_sd(sd, prefix, quant_type, dtype, transpose_float=True):
         out["weight_scale"] = sd.pop(prefix + ".weight_scale").astype(np.float32)
     elif quant_type == "int4g32":
         packed = Q.repack_ref_to_tpu(w)     # (K/2, N) uint8
-        scale = sd.pop(prefix + ".weight_scale").astype(np.float32)
+        # keep the checkpoint's scale dtype: reference checkpoints store
+        # f16 (model-dtype) scales — loading them verbatim preserves exact
+        # dequant parity; scales quantized in this package are f16 already
+        # (ops/quant.py SCALE_DTYPE)
+        scale = sd.pop(prefix + ".weight_scale")
         K = packed.shape[0] * 2
         Ks = Q.int4_storage_k(K)
         if Ks != K:

@@ -42,6 +42,15 @@ MAX_Q_INT8 = 127
 MAX_Q_INT4 = 7
 GROUP_K = 32  # int4 group size along K
 
+# int4 group scales are STORED in float16 — the reference checkpoints carry
+# f16 scales (model dtype, int4/quantizer.py), and at decode the (K/32, N)
+# scale stream is 1/8 of the packed-weight traffic: f32 storage costs +8%
+# of HBM speed-of-light for nothing.  Quantization grids are still computed
+# against f32 scales (grid parity with the reference's f32 runs); the f16
+# rounding applies only at dequant, exactly as when loading a reference f16
+# checkpoint.
+SCALE_DTYPE = jnp.float16
+
 
 # ---------------------------------------------------------------------------
 # RTN quantizers (jnp; usable under jit)
@@ -261,7 +270,7 @@ def pad_packed_int4(packed: jax.Array, scale: jax.Array) -> tuple[jax.Array, jax
 def quantize_linear_int4(w_kn, bias=None) -> dict:
     q, scale = rtn_quantize_int4(w_kn)
     packed, scale = pad_packed_int4(pack_int4_tpu(q), scale)
-    p = {"weight": packed, "weight_scale": scale}
+    p = {"weight": packed, "weight_scale": scale.astype(SCALE_DTYPE)}
     if bias is not None:
         p["bias"] = bias
     return p

@@ -229,7 +229,7 @@ def gptq_linear_params_int4(w_kn, hessian, bias=None, blocksize=128,
     # quantize_with_scale on the (K, N) transpose (int4/quantizer.py:193)
     qgrid = Q.quantize_with_scale_int4(grid.T, scales)
     packed, scales = Q.pad_packed_int4(Q.pack_int4_tpu(qgrid), scales)
-    p = {"weight": packed, "weight_scale": scales}
+    p = {"weight": packed, "weight_scale": scales.astype(Q.SCALE_DTYPE)}
     if bias is not None:
         p["bias"] = bias
     return p

@@ -138,12 +138,17 @@ class ServingEngine:
                 nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
                 return (nxt, cache), nxt
 
+            # inactive (free) slots: zero their lengths for the chunk so the
+            # ragged attention kernel skips ALL their KV blocks — decode
+            # attention cost scales with the ACTIVE batch, not max_batch
+            # (their cache rows are dead, so the slot-0.. writes the chunk
+            # makes there are harmless)
+            orig_lengths = cache.lengths
+            cache = cache.replace(lengths=jnp.where(active, orig_lengths, 0))
             rngs = jax.random.split(rng, n)
             (last, cache), toks = jax.lax.scan(step, (first_tok, cache), rngs)
             # inactive slots must not advance their lengths
-            fixed_lengths = jnp.where(
-                active, cache.lengths, cache.lengths - n
-            )
+            fixed_lengths = jnp.where(active, cache.lengths, orig_lengths)
             return toks.T, cache.replace(lengths=fixed_lengths)
 
         self._prefill_into_slot = _prefill_into_slot

@@ -163,7 +163,7 @@ class TestStoragePadding:
         x = rand((4, K), 21)
         y = quant_linear(x, p, "int4g32", RT_FALLBACK)
         q, scale = Q.rtn_quantize_int4(w)
-        deq = Q.unpack_int4_tpu(Q.pack_int4_tpu(q), scale)
+        deq = Q.unpack_int4_tpu(Q.pack_int4_tpu(q), scale.astype(Q.SCALE_DTYPE))
         np.testing.assert_allclose(np.asarray(y), np.asarray(x @ deq), rtol=1e-4, atol=1e-4)
         # gradient strips padding
         gx = jax.grad(lambda x: quant_linear(x, p, "int4g32", RT_FALLBACK).sum())(x)
