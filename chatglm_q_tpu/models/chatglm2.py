@@ -264,7 +264,19 @@ def block_forward(
         kc = k_full.astype(q.dtype)
         vc = v_full.astype(q.dtype)
         if kind == "flash_prefill":
-            if rt.mesh is not None:
+            if rt.mesh is not None and rt.kv_shard_t:
+                # sequence-parallel ring attention over the model axis: q/k/v
+                # shard S (a local slice — they arrive replicated), KV shards
+                # rotate on the ICI ring (parallel/ring_attention.py); pairs
+                # with the T-sharded cache so no device ever holds full KV
+                from ..parallel.ring_attention import ring_attention
+
+                ctx = ring_attention(
+                    q, k.astype(q.dtype), v.astype(q.dtype), lengths,
+                    rt.mesh, "model", sm_scale,
+                )
+                attn_in_tap = ctx.reshape(B, S, G * Hg * D)
+            elif rt.mesh is not None:
                 ctx = PA.flash_attention_prefill_sharded(
                     q, kc, vc, lengths, sm_scale, rt.mesh,
                     rt.attn_block_q, rt.attn_block_k,
@@ -511,12 +523,19 @@ def prefill(
 
     h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
 
-    if rt.flash_enabled() and not rt.kv_shard_t:
+    tsh = rt.kv_shard_t
+    if tsh and rt.mesh is not None:
+        tp = dict(zip(rt.mesh.axis_names, rt.mesh.devices.shape)).get("model", 1)
+        ring_ok = S % tp == 0
+    else:
+        ring_ok = False
+    if rt.flash_enabled() and (not tsh or ring_ok):
         # Pallas blockwise causal attention over the freshly written cache
         # (only the first S cache slots are ever addressed: causality bounds
         # every query's keys to slots < S).  With a T-sharded cache
-        # (kv_shard_t) prefill takes the XLA path: GSPMD partitions the
-        # masked attention einsum over the sequence shards itself.
+        # (kv_shard_t) this dispatches to sequence-parallel ring attention
+        # (block_forward), requiring S divisible by the model axis; else the
+        # XLA path partitions the masked einsum itself.
         mask5 = ("flash_prefill", lengths.astype(jnp.int32))
     else:
         # query t attends cache slots j ≤ t (cache slot j holds token j)
