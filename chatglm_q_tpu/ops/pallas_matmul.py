@@ -57,6 +57,9 @@ _PERF_DEBUG_NOSCALE = os.environ.get("CHATGLM_Q_TPU_INT4_NOSCALE") == "1"
 # block-size tuning overrides (sweeps; defaults chosen from measurements)
 _BK_CAP = int(os.environ.get("CHATGLM_Q_TPU_BK_CAP", "0")) or None
 _BN_CAP = int(os.environ.get("CHATGLM_Q_TPU_BN_CAP", "0")) or None
+# int4 scale scheme: "broadcast" (per-element scale multiply) or "grouped"
+# (per-group partial dots; see _int4_fwd_kernel)
+_INT4_SCHEME = os.environ.get("CHATGLM_Q_TPU_INT4_SCHEME", "broadcast")
 # optional per-kernel VMEM budget override (sweeps only; measured: raising
 # it to 96 MB made decode slightly SLOWER - the compiler's default budget
 # schedules better)
@@ -129,7 +132,19 @@ def _int8_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total):
+def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
+                     grouped=False):
+    """int4g32 fused dequant-matmul K-step.
+
+    Two scale schemes:
+    * broadcast (default round 1): dequantized weights are multiplied by the
+      group scale elementwise — 2 VPU ops per WEIGHT element.
+    * ``grouped``: per-group (bm, 32)·(32, bn) partial dots on the UNSCALED
+      weights, scales applied to the (bm, bn) partials — the scale work
+      drops from O(bk·bn) to O(gb·bm·bn), 32/bm× less VPU traffic at decode
+      (the round-1 attribution measured the broadcast multiply at
+      5.5 ms/token, ~35% of the whole step; docs/RESULTS.md).
+    """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -140,21 +155,33 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total)
     bk, bn = q.shape
     gb = bk // 32
     w = q.astype(x_ref.dtype)
-    if not _PERF_DEBUG_NOSCALE:
-        s = s_ref[...].astype(x_ref.dtype)                # (gb, bn)
-        w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
     xv = x_ref[...]
+    s = s_ref[...]
     if k_total % bk:
-        # the final K block overhangs the array; out-of-bounds rows/columns
-        # read garbage on BOTH operands — zero each side (0·NaN = NaN, so
-        # masking only one operand is not enough).  Emitted only for
-        # non-dividing K (e.g. ChatGLM2 inner dim 13696 = 26×512 + 384).
+        # the final K block overhangs the arrays; the float-sourced operands
+        # (x columns, scale rows) can read NaN garbage there and 0·NaN = NaN
+        # would poison the accumulator — zero them both.  w comes from an
+        # int4 bitcast, so it is always finite; the zeroed x/scale factors
+        # null its contribution.  Emitted only for non-dividing K (e.g.
+        # ChatGLM2 inner dim 13696 = 26×512 + 384).
         valid = k_total - k * bk
-        rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        w = jnp.where(rows < valid, w, jnp.zeros_like(w))
         cols = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
         xv = jnp.where(cols < valid, xv, jnp.zeros_like(xv))
-    acc_ref[...] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
+        srows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(srows * 32 < valid, s, jnp.zeros_like(s))
+    if grouped and not _PERF_DEBUG_NOSCALE:
+        s = s.astype(jnp.float32)                         # (gb, bn)
+        total = jnp.zeros_like(acc_ref)
+        for g in range(gb):
+            pg = jnp.dot(xv[:, 32 * g:32 * (g + 1)], w[32 * g:32 * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        acc_ref[...] += total
+    else:
+        if not _PERF_DEBUG_NOSCALE:
+            s = s.astype(x_ref.dtype)                     # (gb, bn)
+            w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(bk, bn)
+        acc_ref[...] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -238,7 +265,8 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048, interpret=
     Mp = xp.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_int4_fwd_kernel, interpret=interpret, k_total=K),
+        functools.partial(_int4_fwd_kernel, interpret=interpret, k_total=K,
+                          grouped=_INT4_SCHEME == "grouped"),
         grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
@@ -418,10 +446,20 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
 
         q = pltpu.bitcast(pbuf[slot], jnp.int4)            # (_CK, bn)
         w = q.astype(x_ref.dtype)
-        s = sbuf[slot].astype(x_ref.dtype)                 # (_CK//32, bn)
-        w = (w.reshape(_CK // 32, 32, bn) * s[:, None, :]).reshape(_CK, bn)
         xk = x_ref[:, pl.ds(ck * _CK, _CK)]
-        acc_ref[...] += jnp.dot(xk, w, preferred_element_type=jnp.float32)
+        if _INT4_SCHEME == "grouped":
+            s = sbuf[slot].astype(jnp.float32)             # (_CK//32, bn)
+            total = jnp.zeros_like(acc_ref)
+            for g in range(_CK // 32):
+                pg = jnp.dot(xk[:, 32 * g:32 * (g + 1)],
+                             w[32 * g:32 * (g + 1)],
+                             preferred_element_type=jnp.float32)
+                total += pg * s[g][None, :]
+            acc_ref[...] += total
+        else:
+            s = sbuf[slot].astype(x_ref.dtype)             # (_CK//32, bn)
+            w = (w.reshape(_CK // 32, 32, bn) * s[:, None, :]).reshape(_CK, bn)
+            acc_ref[...] += jnp.dot(xk, w, preferred_element_type=jnp.float32)
         return ()
 
     jax.lax.fori_loop(0, num_chunks, body, ())

@@ -142,3 +142,27 @@ def test_dynamic_int8_matmul_close():
     # dispatch through the flag tuple
     out2 = int8_matmul((True, 128, True), x, w, s)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (8, 576, 128)])
+def test_int4_fwd_grouped_scheme(m, k, n, monkeypatch):
+    """The grouped-scale scheme (per-group partial dots) must match the
+    broadcast scheme / oracle exactly, incl. the masked partial final K
+    block (k=576 → bk 512 + masked 64)."""
+    monkeypatch.setattr(PM, "_INT4_SCHEME", "grouped")
+    x = rand((m, k), 5)
+    p, s = make_int4(k, n, 6)
+    out = PM.int4_matmul_pallas(x, p, s, interpret=INTERPRET)
+    ref = x @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_int4_pipelined_grouped_scheme(monkeypatch):
+    monkeypatch.setattr(PM, "_INT4_SCHEME", "grouped")
+    k, n = 4096, 256
+    x = rand((4, k), 7)
+    p, s = make_int4(k, n, 8)
+    out = PM.int4_matmul_pallas_pipelined(x, p, s, interpret=INTERPRET)
+    assert out is not None
+    ref = x @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
