@@ -154,7 +154,11 @@ def params_from_state_dict(
         "word_embedding": emb,
         "layers": layers,
         "final_ln": {"weight": sd.pop("final_ln.weight").astype(dtype)},
-        "lm_head": _linear_from_sd(sd, "lm_head", quant_type, dtype),
+        "lm_head": jax.tree.map(
+            np.asarray,
+            Q.lmhead_pad(_linear_from_sd(sd, "lm_head", quant_type, dtype),
+                         quant_type),
+        ),
     }
     return jax.tree.map(jnp.asarray, params)
 
@@ -212,7 +216,8 @@ def params_to_state_dict(params: dict, config: ChatGLM2Config, quant_type: str) 
         put_linear(f"layers.{i}.ffn.w_out", li["w_out"], config.inner_hidden_size)
 
     sd["final_ln.weight"] = p["final_ln"]["weight"]
-    put_linear("lm_head", p["lm_head"], config.hidden_size)
+    put_linear("lm_head", _slice_n(p["lm_head"], config.vocab_size, quant_type),
+               config.hidden_size)
     return sd
 
 

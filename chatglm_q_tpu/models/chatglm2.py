@@ -439,6 +439,7 @@ def forward(
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
     logits = quant_linear(h, params["lm_head"], quant_type, rt)
+    logits = logits[..., : config.vocab_size]  # strip lm_head N padding
 
     loss = None
     if labels is not None:
@@ -553,6 +554,7 @@ def prefill(
     # only the last valid position's logits are needed
     last = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0]
     logits = quant_linear(last, params["lm_head"], quant_type, rt)
+    logits = logits[..., : config.vocab_size]
 
     new_cache = KVCache(k=new_k, v=new_v, lengths=lengths.astype(jnp.int32))
     return logits, new_cache
@@ -590,6 +592,7 @@ def decode_step(
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
     logits = quant_linear(h[:, 0], params["lm_head"], quant_type, rt)
+    logits = logits[..., : config.vocab_size]
 
     new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + 1)
     return logits, new_cache
@@ -700,5 +703,7 @@ def init_params(
         "word_embedding": emb,
         "layers": layers,
         "final_ln": {"weight": jnp.ones((H,), dtype)},
-        "lm_head": _init_linear(keys[7], H, V, False, quant_type, dtype),
+        "lm_head": Q.lmhead_pad(
+            _init_linear(keys[7], H, V, False, quant_type, dtype), quant_type
+        ),
     }

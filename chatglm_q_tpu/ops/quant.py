@@ -42,6 +42,18 @@ MAX_Q_INT8 = 127
 MAX_Q_INT4 = 7
 GROUP_K = 32  # int4 group size along K
 
+# lm_head N padding target (65024 → 65536): applied only when N ≥ the
+# multiple, so tiny test vocabularies stay unpadded
+LMHEAD_N_MULTIPLE = 2048
+
+
+def lmhead_pad(p: dict, quant_type: str) -> dict:
+    """Pad the lm_head's vocab (N) dim to LMHEAD_N_MULTIPLE when large
+    enough to benefit; callers slice logits back to vocab_size."""
+    if quant_type == "none" or p["weight"].shape[-1] < LMHEAD_N_MULTIPLE:
+        return p
+    return pad_linear_n(p, quant_type, multiple=LMHEAD_N_MULTIPLE)
+
 # int4 group scales are STORED in float16 — the reference checkpoints carry
 # f16 scales (model dtype, int4/quantizer.py), and at decode the (K/32, N)
 # scale stream is 1/8 of the packed-weight traffic: f32 storage costs +8%
@@ -195,19 +207,21 @@ def pad_int8_weight(q: jax.Array) -> jax.Array:
     return jnp.pad(q, ((0, Ks - K), (0, 0)))
 
 
-def pad_linear_n(p: dict, quant_type: str) -> dict:
+def pad_linear_n(p: dict, quant_type: str, multiple: int | None = None) -> dict:
     """Zero-pad a quantized linear param dict's output (N) dimension to the
-    kernel-aligned storage size (same rule as K: int4_storage_k).
+    kernel-aligned storage size (default: the K rule, int4_storage_k; or an
+    explicit ``multiple`` — the lm_head pads 65024 → 65536 so the widest
+    matmul tiles at bn 2048 instead of 512).
 
-    Only valid where the consumer tolerates extra zero outputs — used for
-    the ffn w_in_h / w_in_gate pair, whose padded columns produce
-    silu(0)*0 = 0 activations that flow into the (equally padded) w_out K
-    rows and contribute exactly nothing.  Padded int4 scale columns are 1.0,
-    padded int8 scale entries 1.0, padded bias entries 0.
+    Only valid where the consumer tolerates extra zero outputs — the ffn
+    w_in_h / w_in_gate pair (padded columns produce silu(0)*0 = 0
+    activations flowing into the equally padded w_out K rows) and the
+    lm_head (padded logits are sliced off before loss/sampling,
+    models/chatglm2.py).  Padded scale entries are 1.0, padded bias 0.
     """
     w = p["weight"]
     N = w.shape[-1]
-    Ns = int4_storage_k(N)
+    Ns = ((N + multiple - 1) // multiple) * multiple if multiple else int4_storage_k(N)
     if Ns == N:
         return p
     pad = Ns - N

@@ -151,7 +151,11 @@ def gptq_quantize_model(
             b["h"], params["final_ln"]["weight"], config.layernorm_epsilon
         )
         Hh, n = G.accumulate_hessian(Hh, n, final)
-    lm_head = quant_params(params["lm_head"]["weight"], Hh, params["lm_head"].get("bias"))
+    lm_head = Q.lmhead_pad(
+        quant_params(params["lm_head"]["weight"], Hh,
+                     params["lm_head"].get("bias")),
+        quant_type,
+    )
 
     return {
         "word_embedding": emb_q,

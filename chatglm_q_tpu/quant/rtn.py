@@ -52,5 +52,8 @@ def rtn_quantize_model(
         "word_embedding": emb_fn(params["word_embedding"]["weight"].astype(jnp.float32)),
         "layers": layers,
         "final_ln": params["final_ln"],
-        "lm_head": _quantize_linear(params["lm_head"], quant_type, stacked=False),
+        "lm_head": Q.lmhead_pad(
+            _quantize_linear(params["lm_head"], quant_type, stacked=False),
+            quant_type,
+        ),
     }

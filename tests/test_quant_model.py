@@ -80,3 +80,31 @@ def test_gptq_quantized_model_decodes(float_params, calib_batches):
         None, "int4g32", jnp.float32, RT,
     )
     assert toks.shape == (1, 3)
+
+
+def test_lmhead_vocab_padding_transparent():
+    """lm_head N padded to the 2048 tile multiple: logits identical to the
+    unpadded model (padding sliced off), sampled ids always < vocab_size."""
+    import dataclasses
+    from chatglm_q_tpu.ops.sampling import top_p_sampling
+
+    cfg = dataclasses.replace(CFG, vocab_size=2176)  # pads to 4096
+    params = M.init_params(jax.random.PRNGKey(3), cfg, "none", jnp.float32)
+    from chatglm_q_tpu.quant.rtn import rtn_quantize_model
+    qp = rtn_quantize_model(params, cfg, "int4g32")
+    assert qp["lm_head"]["weight"].shape[-1] == 4096
+
+    ids = jnp.asarray([[3, 17, 42, 2175]])
+    _, logits = M.forward(qp, cfg, ids, quant_type="int4g32", rt=RT)
+    assert logits.shape[-1] == cfg.vocab_size
+
+    # unpadded oracle: same quantized values, padding stripped
+    qp2 = dict(qp)
+    qp2["lm_head"] = {k: v[..., :2176] if v.shape[-1] == 4096 else
+                      v[..., :2176] for k, v in qp["lm_head"].items()}
+    _, logits2 = M.forward(qp2, cfg, ids, quant_type="int4g32", rt=RT)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
+                               rtol=1e-5, atol=1e-5)
+
+    tok = top_p_sampling(jax.random.PRNGKey(0), logits[:, -1], 100, 0.99, 5.0)
+    assert int(tok.max()) < cfg.vocab_size
