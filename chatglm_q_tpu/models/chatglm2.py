@@ -216,6 +216,7 @@ def block_forward(
     k = apply_rotary_emb(k, f).reshape(B, S, G, D)
     v = v.reshape(B, S, G, D)
 
+    paged = type(kv_write).__name__ == "PagedWrite"
     if kv_write is None:
         if past_kv is not None:
             pk, pv = past_kv
@@ -224,6 +225,26 @@ def block_forward(
         else:
             k_full, v_full = k, v
         kv_out = (k_full, v_full)
+    elif paged:
+        # paged pool write (models/paged_kv.py): prefill attends the fresh
+        # K/V directly (causality never reaches the pool); decode attends
+        # the pool through the paged ragged kernel or, on the XLA fallback
+        # path, a gathered dense view
+        from . import paged_kv as PK
+
+        kw = k.transpose(0, 2, 1, 3)  # (B, G, S, D)
+        vw = v.transpose(0, 2, 1, 3)
+        kp = PK.write_pages(kv_write.k_pool, kw, kv_write.layer_idx,
+                            kv_write.page_table, kv_write.start)
+        vp = PK.write_pages(kv_write.v_pool, vw, kv_write.layer_idx,
+                            kv_write.page_table, kv_write.start)
+        kv_out = (kp, vp)
+        if S == 1 and not isinstance(mask_bias, tuple):
+            # decode XLA fallback: dense (B, G, MP*P, D) view of the pool
+            k_full = PK.gather_layer(kp, kv_write.layer_idx, kv_write.page_table)
+            v_full = PK.gather_layer(vp, kv_write.layer_idx, kv_write.page_table)
+        else:
+            k_full, v_full = kw, vw
     else:
         # write the S new positions into the FULL (L, B, G, Smax, D) cache
         # carried through the layer scan at (layer, row, start_row) — tiny
@@ -287,7 +308,12 @@ def block_forward(
                 )
             attn_in_tap = ctx.reshape(B, S, G * Hg * D)
         else:  # flash_decode: S == 1
-            if rt.mesh is not None and rt.kv_shard_t:
+            if paged:
+                ctx = PA.flash_attention_decode_paged(
+                    q[:, 0], kv_out[0], kv_out[1], kv_write.layer_idx,
+                    kv_write.page_table, lengths, sm_scale,
+                )
+            elif rt.mesh is not None and rt.kv_shard_t:
                 ctx = PA.flash_attention_decode_kv_tsharded(
                     q[:, 0], kc, vc, lengths, sm_scale, rt.mesh, rt.attn_block_k
                 )

@@ -485,6 +485,128 @@ def flash_attention_decode_v2(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Paged decode: the KV pool is a set of fixed-size pages in HBM; a per-row
+# page table maps logical KV blocks to physical pages.  Decode DMAs exactly
+# the pages below each row's length — O(length) HBM reads over a pool whose
+# memory scales with the TOKENS IN FLIGHT, not slots × max_seq_len.  The
+# whole (L, NP, G, P, D) pool is passed once (ANY memory space) with the
+# layer index as a prefetched scalar, so the per-layer serving scan never
+# materializes a layer slab copy.
+# ---------------------------------------------------------------------------
+
+def _decode_paged_kernel(lengths_ref, layer_ref, pt_ref, q_ref, k_hbm, v_hbm,
+                         o_ref, kbuf, vbuf, sems, *, p, hg, d):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    lyr = layer_ref[0]
+    n_valid = lengths_ref[b] + 1
+    n_pages = jax.lax.div(n_valid + p - 1, p)
+
+    def dmas(slot, blk):
+        phys = pt_ref[b, blk]
+        return (
+            pltpu.make_async_copy(k_hbm.at[lyr, phys, g], kbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[lyr, phys, g], vbuf.at[slot], sems.at[slot, 1]),
+        )
+
+    for dma in dmas(0, 0):
+        dma.start()
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (Hg, D)
+
+    def body(blk, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < n_pages)
+        def _():
+            for dma in dmas(nxt, blk + 1):
+                dma.start()
+
+        for dma in dmas(slot, blk):
+            dma.wait()
+
+        k = kbuf[slot].astype(jnp.float32)       # (P, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk * p
+        s = jnp.where(cols < n_valid, s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        pr = jnp.exp(s - m_next)
+        l = alpha * l + jnp.sum(pr, axis=1, keepdims=True)
+        v = vbuf[slot].astype(jnp.float32)
+        acc = acc * alpha + jnp.dot(pr, v, preferred_element_type=jnp.float32)
+        return m_next, l, acc
+
+    m0 = jnp.full((hg, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((hg, 1), jnp.float32)
+    acc0 = jnp.zeros((hg, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention_decode_paged(
+    q: jax.Array,           # (B, G, Hg, D)
+    k_pool: jax.Array,      # (L, NP, G, P, D) in HBM
+    v_pool: jax.Array,      # (L, NP, G, P, D)
+    layer_idx: jax.Array,   # () or (1,) int32
+    page_table: jax.Array,  # (B, MP) int32 — physical page per logical block
+    lengths: jax.Array,     # (B,) int32 — cache length BEFORE this token
+    sm_scale: float,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Ragged decode attention over a paged KV pool.
+
+    Row b attends logical positions 0..lengths[b]; position t lives at
+    ``pool[layer, page_table[b, t // P], g, t % P]``.  Only the pages below
+    each row's length are DMA'd (double-buffered), so HBM reads are
+    O(length) and the pool address never re-materializes per layer.
+    Semantics match :func:`flash_attention_decode` over the gathered cache
+    (tests/test_paged.py).  Replaces the reference's per-step concat cache
+    (model.py:151-155) for many-slot serving.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    B, G, Hg, D = q.shape
+    P = k_pool.shape[3]
+
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    lyr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_paged_kernel, p=P, hg=Hg, d=D),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, G),
+            in_specs=[
+                pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, P, D), k_pool.dtype),
+                pltpu.VMEM((2, P, D), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), lyr, page_table.astype(jnp.int32),
+      qs, k_pool, v_pool)
+    return out
+
+
 def flash_attention_decode_kv_tsharded(
     q, k, v, lengths, sm_scale, mesh, block_k=512,
     data_axis="data", model_axis="model", interpret=None,

@@ -2,3 +2,4 @@ from .decoder import GLMDecoder
 from .chat import chat_template, process_response
 from .engine import ServingEngine, Request
 from .dist_engine import DistributedServingEngine
+from .paged_engine import PagedServingEngine

@@ -88,7 +88,7 @@ class ServingEngine:
         self.logger = logger
         self.stats = {"steps": 0, "admitted": 0, "finished": 0,
                       "generated_tokens": 0, "decode_chunks": 0}
-        self.cache = M.init_kv_cache(self.mc, max_batch, self.max_seq_len, self.kv_dtype)
+        self.cache = self._make_cache()
         self.slots = [_Slot() for _ in range(max_batch)]
         self.queue: list[Request] = []
         self.finished: list[Request] = []
@@ -100,7 +100,16 @@ class ServingEngine:
         # clamps must not pay a device fetch per slot per step
         self._host_lengths = np.zeros((max_batch,), np.int64)
 
-        qt = config.quant_type
+        self._build_programs()
+
+    def _make_cache(self):
+        return M.init_kv_cache(self.mc, self.max_batch, self.max_seq_len,
+                               self.kv_dtype)
+
+    def _build_programs(self):
+        """Compile-once jit closures for slot prefill and chunked decode
+        (overridden by the paged engine)."""
+        qt = self.config.quant_type
 
         @partial(jax.jit, static_argnames=("bucket",), donate_argnums=(1,))
         def _prefill_into_slot(params, cache, ids_1xS, length, slot, bucket):

@@ -1,0 +1,153 @@
+"""Continuous batching over a paged KV pool.
+
+Same scheduler/slot semantics as :class:`~chatglm_q_tpu.serving.engine.
+ServingEngine` (token-exact — tests/test_paged.py), but KV lives in a
+shared page pool (models/paged_kv.py) instead of per-slot max-length rows:
+
+* admission allocates ``ceil(tokens_needed / page_size)`` physical pages
+  from a free list and writes them into the slot's page-table row; a
+  request whose pages don't fit waits in the queue (head-of-line) until
+  finishes free pages — memory backpressure instead of OOM;
+* pool memory scales with tokens in flight, so the same HBM serves far
+  more slots than ``slots × max_seq_len`` dense rows (the reference keeps
+  one concat cache per sequence, decoder.py:65-108 — batch-1 only);
+* physical page 0 is reserved as a garbage page: inactive slots' in-chunk
+  writes land there, and freed slots' table rows are reset to 0 so a
+  recycled page can never be written through a stale table.
+
+All jit shapes are static (pool, page table); admission and release only
+change page-table *data*, so nothing ever recompiles.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import chatglm2 as M
+from ..models import paged_kv as PK
+from ..ops.sampling import top_p_sampling, greedy_sampling
+from .engine import ServingEngine
+
+
+class PagedServingEngine(ServingEngine):
+    def __init__(self, config, params, tokenizer=None, *,
+                 num_pages: int = 64, page_size: int = 256, **kwargs):
+        # consumed by _make_cache, which super().__init__ calls
+        self.num_pages = num_pages
+        self.page_size = page_size
+        super().__init__(config, params, tokenizer, **kwargs)
+        # page 0 reserved for garbage writes of inactive slots
+        self._free_pages = list(range(1, num_pages))
+        self._slot_pages: dict[int, list[int]] = {}
+
+    def _make_cache(self):
+        return PK.init_paged_kv_cache(
+            self.mc, self.max_batch, self.num_pages,
+            self.max_seq_len, self.page_size, self.kv_dtype,
+        )
+
+    @property
+    def pages_in_use(self) -> int:
+        return sum(len(p) for p in self._slot_pages.values())
+
+    # -- programs --------------------------------------------------------
+
+    def _build_programs(self):
+        qt = self.config.quant_type
+
+        @partial(jax.jit, static_argnames=("bucket",), donate_argnums=(1,))
+        def _prefill_into_slot(params, cache, ids_1xS, length, slot, bucket):
+            # B=1 view over the shared pool through the slot's table row
+            ptrow = jax.lax.dynamic_index_in_dim(cache.page_table, slot, 0)
+            sub = PK.PagedKVCache(
+                k_pool=cache.k_pool, v_pool=cache.v_pool,
+                page_table=ptrow, lengths=jnp.zeros((1,), jnp.int32),
+            )
+            logits, sub = PK.prefill_paged(
+                params, self.mc, ids_1xS, length[None], sub, qt, self.dtype,
+                self.rt,
+            )
+            return logits[0], cache.replace(
+                k_pool=sub.k_pool, v_pool=sub.v_pool,
+                lengths=cache.lengths.at[slot].set(length),
+            )
+
+        @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
+        def _decode_chunk(params, cache, first_tok, rng, active, sampling, n, top_k):
+            temperature, top_p, top_k_limit = sampling
+
+            def step(carry, rng_step):
+                tok, cache = carry
+                logits, cache = PK.decode_step_paged(
+                    params, self.mc, tok, cache, qt, self.dtype, self.rt
+                )
+                safe_t = jnp.where(temperature > 0, temperature, 1.0)
+                sampled = top_p_sampling(
+                    rng_step, logits, top_k, top_p[:, None], safe_t[:, None],
+                    top_k_limit=top_k_limit[:, None],
+                )
+                greedy = greedy_sampling(logits)
+                nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+                return (nxt, cache), nxt
+
+            # inactive slots: zero lengths (ragged kernel skips their pages)
+            # — their in-chunk writes land on garbage page 0 via their
+            # zeroed table rows
+            orig_lengths = cache.lengths
+            cache = cache.replace(lengths=jnp.where(active, orig_lengths, 0))
+            rngs = jax.random.split(rng, n)
+            (last, cache), toks = jax.lax.scan(step, (first_tok, cache), rngs)
+            fixed_lengths = jnp.where(active, cache.lengths, orig_lengths)
+            return toks.T, cache.replace(lengths=fixed_lengths)
+
+        self._prefill_into_slot = _prefill_into_slot
+        self._decode_chunk = _decode_chunk
+
+    # -- page allocation -------------------------------------------------
+
+    def _pages_needed(self, req) -> int:
+        reserve = max(1, min(req.max_new_tokens, 64))
+        keep = max(1, self.max_seq_len - reserve)
+        n_ids = len(req.prompt_ids[-keep:])
+        bucket = self._bucket(n_ids)
+        # +chunk: in-chunk over-generation past the budget writes before the
+        # host rolls it back; those writes must stay inside owned pages
+        tokens = min(max(bucket, n_ids + req.max_new_tokens + self.chunk),
+                     self.max_seq_len)
+        return -(-tokens // self.page_size)
+
+    def _admit(self):
+        for slot_idx, slot in enumerate(self.slots):
+            if slot.request is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            n = self._pages_needed(req)
+            if n > len(self._free_pages):
+                if self.logger:
+                    self.logger.log("admit_wait", req_id=req.req_id,
+                                    pages_needed=n,
+                                    pages_free=len(self._free_pages))
+                return  # backpressure: wait for finishes to free pages
+            pages = [self._free_pages.pop() for _ in range(n)]
+            self._slot_pages[slot_idx] = pages
+            row = np.zeros((self.cache.page_table.shape[1],), np.int32)
+            row[: len(pages)] = pages
+            self.cache = self.cache.replace(
+                page_table=self.cache.page_table.at[slot_idx].set(
+                    jnp.asarray(row))
+            )
+            self.queue.pop(0)
+            self._admit_into_slot(slot_idx, req)
+
+    def _maybe_finish(self, slot_idx: int):
+        super()._maybe_finish(slot_idx)
+        if self.slots[slot_idx].request is None and self._slot_pages.get(slot_idx):
+            self._free_pages.extend(self._slot_pages.pop(slot_idx))
+            # reset the table row so a recycled page can't be written through
+            # a stale mapping (inactive-slot chunk writes must hit page 0)
+            self.cache = self.cache.replace(
+                page_table=self.cache.page_table.at[slot_idx].set(0)
+            )

@@ -1,0 +1,179 @@
+"""Paged KV cache: write/gather helpers, the paged ragged-decode kernel,
+model-level paged serving vs the dense cache, and the paged engine
+(allocation, backpressure, page recycling) — all token-exact vs the dense
+paths."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatglm_q_tpu.config import ChatGLM2Config, GLMLoadConfig, TpuRuntimeConfig
+from chatglm_q_tpu.models import chatglm2 as M
+from chatglm_q_tpu.models import paged_kv as PK
+
+XLA_RT = TpuRuntimeConfig(use_pallas=False, use_flash_attention=False)
+FLASH_RT = TpuRuntimeConfig(use_pallas=True, use_flash_attention=True)
+
+CFG = ChatGLM2Config(
+    hidden_size=64, inner_hidden_size=64, head_hidden_size=16,
+    num_multi_query_groups=2, num_attention_heads=4, num_layers=2,
+    vocab_size=128, max_sequence_length=64,
+)
+PAGE = 16  # 4 logical pages per row at max_seq_len 64
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_params(jax.random.PRNGKey(0), CFG, "none", jnp.float32)
+
+
+def test_write_gather_roundtrip():
+    """Prefill + decode writes through the page table must reassemble, via
+    gather_layer, into exactly the dense cache contents."""
+    rng = np.random.RandomState(0)
+    L, NP, G, P, D = 2, 9, 2, 8, 16
+    B, MP = 2, 3
+    pool = jnp.zeros((L, NP, G, P, D), jnp.float32)
+    # row 0 gets pages [3, 5, 1]; row 1 gets [7, 2, 8]
+    pt = jnp.asarray([[3, 5, 1], [7, 2, 8]], jnp.int32)
+
+    S = 13  # spans two pages (8 + 5)
+    new = jnp.asarray(rng.randn(B, G, S, D), jnp.float32)
+    for layer in range(L):
+        pool = PK.write_pages(pool, new, jnp.int32(layer), pt,
+                              jnp.zeros((B,), jnp.int32))
+    # one decode write at position 13 per row
+    tok = jnp.asarray(rng.randn(B, G, 1, D), jnp.float32)
+    for layer in range(L):
+        pool = PK.write_pages(pool, tok, jnp.int32(layer), pt,
+                              jnp.full((B,), S, jnp.int32))
+
+    for layer in range(L):
+        dense = PK.gather_layer(pool, jnp.int32(layer), pt)  # (B, G, MP*P, D)
+        np.testing.assert_array_equal(dense[:, :, :S], new)
+        np.testing.assert_array_equal(dense[:, :, S : S + 1], tok)
+        np.testing.assert_array_equal(dense[:, :, S + 1 :], 0.0)
+
+
+def test_paged_decode_kernel_vs_oracle():
+    from chatglm_q_tpu.ops.pallas_attention import (
+        flash_attention_decode, flash_attention_decode_paged)
+
+    rng = np.random.RandomState(1)
+    L, NP, G, P, D, Hg = 3, 17, 2, 16, 16, 2
+    B, MP = 4, 4
+    pool_k = jnp.asarray(rng.randn(L, NP, G, P, D), jnp.float32)
+    pool_v = jnp.asarray(rng.randn(L, NP, G, P, D), jnp.float32)
+    # distinct random page assignments per row
+    perm = rng.permutation(NP - 1)[: B * MP].reshape(B, MP) + 1
+    pt = jnp.asarray(perm, jnp.int32)
+    q = jnp.asarray(rng.randn(B, G, Hg, D), jnp.float32)
+    lengths = jnp.asarray([0, 7, 33, 63], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    for layer in range(L):
+        got = flash_attention_decode_paged(
+            q, pool_k, pool_v, jnp.int32(layer), pt, lengths, sm,
+            interpret=True,
+        )
+        dk = PK.gather_layer(pool_k, jnp.int32(layer), pt)
+        dv = PK.gather_layer(pool_v, jnp.int32(layer), pt)
+        want = flash_attention_decode(q, dk, dv, lengths, sm, 16, interpret=True)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def _greedy_paged(params, prompt, n, rt):
+    cache = PK.init_paged_kv_cache(CFG, 1, num_pages=9, max_length=64,
+                                   page_size=PAGE, dtype=jnp.float32)
+    # shuffled non-contiguous physical pages
+    cache = cache.replace(page_table=jnp.asarray([[5, 2, 7, 3]], jnp.int32))
+    S = len(prompt)
+    logits, cache = PK.prefill_paged(
+        params, CFG, jnp.asarray([prompt]), jnp.asarray([S], jnp.int32),
+        cache, "none", jnp.float32, rt,
+    )
+    out = []
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    for _ in range(n):
+        out.append(int(tok[0]))
+        logits, cache = PK.decode_step_paged(
+            params, CFG, tok, cache, "none", jnp.float32, rt)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    return out
+
+
+def _greedy_dense(params, prompt, n, rt):
+    cache = M.init_kv_cache(CFG, 1, 64, jnp.float32)
+    logits, cache = M.prefill(
+        params, CFG, jnp.asarray([prompt]), jnp.asarray([len(prompt)], jnp.int32),
+        cache, "none", jnp.float32, rt,
+    )
+    out = []
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    for _ in range(n):
+        out.append(int(tok[0]))
+        logits, cache = M.decode_step(params, CFG, tok, cache, "none",
+                                      jnp.float32, rt)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    return out
+
+
+@pytest.mark.parametrize("rt", [XLA_RT, FLASH_RT], ids=["xla", "flash"])
+def test_paged_model_matches_dense(params, rt):
+    prompt = [3, 17, 42, 99, 5, 61, 8, 77, 23, 90, 11, 4, 56, 33, 70, 6, 81, 29]
+    got = _greedy_paged(params, prompt, 12, rt)
+    want = _greedy_dense(params, prompt, 12, rt)
+    assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+def _make_engines(params, num_pages, **kw):
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    kw.setdefault("max_batch", 4)
+    kw.setdefault("max_seq_len", 64)
+    kw.setdefault("decode_chunk", 4)
+    dense = ServingEngine(load_cfg, params, None, rt=XLA_RT, **kw)
+    paged = PagedServingEngine(load_cfg, params, None, rt=XLA_RT,
+                               num_pages=num_pages, page_size=PAGE, **kw)
+    return dense, paged
+
+
+def _run(engine, prompts, **kw):
+    ids = [engine.submit(p, temperature=0.0, **kw) for p in prompts]
+    steps = 0
+    while engine.has_work:
+        engine.step()
+        steps += 1
+        assert steps < 200, "engine did not drain"
+    by_id = {r.req_id: r.generated for r in engine.finished}
+    return [by_id[i] for i in ids]
+
+
+def test_paged_engine_matches_dense_engine(params):
+    prompts = [[3, 17, 42], [7, 9, 11, 13, 15], [100, 101], [50, 60, 70, 80]]
+    dense, paged = _make_engines(params, num_pages=40)
+    want = _run(dense, prompts, max_new_tokens=6)
+    got = _run(paged, prompts, max_new_tokens=6)
+    assert got == want, (got, want)
+
+
+def test_paged_engine_backpressure_and_recycling(params):
+    """A pool too small for all requests at once: admissions must wait for
+    pages, recycled pages must serve later requests, and every output must
+    still be token-exact."""
+    prompts = [[3, 17, 42], [7, 9, 11, 13, 15], [100, 101],
+               [50, 60, 70, 80], [5, 6], [88, 44, 22]]
+    dense, paged = _make_engines(params, num_pages=7)  # 6 usable pages
+    # each request needs ceil(min(max(16, len+6+4), 64)/16) = 1..2 pages;
+    # with 6 usable pages not all six admit at once
+    want = _run(dense, prompts, max_new_tokens=6)
+    got = _run(paged, prompts, max_new_tokens=6)
+    assert got == want, (got, want)
+    assert paged.pages_in_use == 0
+    assert sorted(paged._free_pages) == list(range(1, 7))
