@@ -112,6 +112,34 @@ def main():
     want = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4)
     check("int4_pipelined", got, want, rtol=5e-2, atol=5e-1)
 
+    # decode v2 (manual double-buffered DMA, O(length) reads)
+    got = PA.flash_attention_decode_v2(
+        qd, kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3),
+        jnp.asarray([100, 1000], jnp.int32), sm)
+    s = jnp.einsum("bghd,btgd->bght", qd.astype(jnp.float32), kc.astype(jnp.float32)) * sm
+    m = jnp.arange(T)[None, :] <= jnp.asarray([100, 1000])[:, None]
+    want = jnp.einsum("bght,btgd->bghd",
+                      jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), -1),
+                      vc.astype(jnp.float32))
+    check("flash_decode_v2", got, want, rtol=5e-2, atol=5e-2)
+
+    # paged decode (page-table indirection over the page pool)
+    from chatglm_q_tpu.models import paged_kv as PK
+    L_, NP_, P_ = 2, 12, 256
+    MP_ = T // P_
+    pool_k = jax.random.normal(jax.random.PRNGKey(13), (L_, NP_, G_, P_, D), jnp.bfloat16)
+    pool_v = jax.random.normal(jax.random.PRNGKey(14), (L_, NP_, G_, P_, D), jnp.bfloat16)
+    rngp = np.random.RandomState(0)
+    pt = jnp.asarray(
+        rngp.permutation(NP_ - 1)[: B * MP_].reshape(B, MP_) + 1, jnp.int32)
+    lengths = jnp.asarray([100, 1000], jnp.int32)
+    got = PA.flash_attention_decode_paged(
+        qd, pool_k, pool_v, jnp.int32(1), pt, lengths, sm)
+    dk = PK.gather_layer(pool_k, jnp.int32(1), pt)
+    dv = PK.gather_layer(pool_v, jnp.int32(1), pt)
+    want = PA.flash_attention_decode(qd, dk, dv, lengths, sm)
+    check("flash_decode_paged", got, want, rtol=5e-2, atol=5e-2)
+
     # dynamic-activation int8 (s8×s8 MXU)
     got = PM.int8_dyn_matmul_pallas(x, w8, s8)
     want = x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8)

@@ -498,7 +498,7 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024, interpret=Non
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, _CK // 2, bn), jnp.uint8),
-            pltpu.VMEM((2, _CK // 32, bn), jnp.float32),
+            pltpu.VMEM((2, _CK // 32, bn), scale.dtype),
             pltpu.VMEM((bm, bn), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

@@ -157,6 +157,22 @@ def test_int4_fwd_grouped_scheme(m, k, n, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("scheme", ["broadcast", "grouped"])
+def test_int4_pipelined_f16_scales(scheme, monkeypatch):
+    """Scales are STORED float16 since the f16-scale change; the pipelined
+    kernel's scale DMA buffer must follow the storage dtype (regression:
+    a hardcoded f32 buffer broke the trace for every real checkpoint)."""
+    monkeypatch.setattr(PM, "_INT4_SCHEME", scheme)
+    k, n = 4096, 256
+    x = rand((4, k), 9)
+    p, s = make_int4(k, n, 10)
+    s = s.astype(jnp.float16)
+    out = PM.int4_matmul_pallas_pipelined(x, p, s, interpret=INTERPRET)
+    assert out is not None
+    ref = x @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-2, atol=1e-2)
+
+
 def test_int4_pipelined_grouped_scheme(monkeypatch):
     monkeypatch.setattr(PM, "_INT4_SCHEME", "grouped")
     k, n = 4096, 256
