@@ -1,0 +1,169 @@
+"""Populate the measured kernel-config table (ops/autotune.py) on hardware.
+
+Times the PRODUCTION kernels (not microbench replicas) per model shape and
+M bucket over a small candidate set, and records each winner.  Measurement
+protocol: L distinct weight tensors chained under one jit (cache busting —
+every call streams its weights from HBM like a real decode step), a dynamic
+``fori_loop`` rep count so ONE compiled program serves all chain lengths,
+and slope timing between two counts (utils/timing.py; host-loop timing is
+meaningless through this deployment's ~30 ms tunnel RTT).
+
+Each candidate config is its own Mosaic compile (minutes cold through the
+remote-compile tunnel, seconds warm from the persistent cache), so the
+default sweep covers only the traffic-dominant shapes; widen with --all.
+Already-recorded shapes are skipped unless --force.
+
+Usage:
+  python benchmarks/autotune_sweep.py            # int4, M=8, big shapes
+  python benchmarks/autotune_sweep.py --kernel int8 --m 8 64 --all --force
+"""
+import argparse
+import functools
+import json
+import sys
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+
+from chatglm_q_tpu.ops import autotune as AT
+from chatglm_q_tpu.ops import pallas_matmul as PM
+from chatglm_q_tpu.ops.quant import int4_storage_k
+from chatglm_q_tpu.utils.timing import force, slope_time
+
+L = 8  # distinct weights per chain (cache busting)
+
+# ChatGLM2-6B linear shapes in STORAGE dims (int4_storage_k padding).
+# name: (K, N, traffic_dominant)
+SHAPES = {
+    "q_proj": (4096, 4608, False),
+    "kv_proj": (4096, 512, False),
+    "o_proj": (4608, 4096, False),
+    "w_in": (4096, int4_storage_k(13696), True),
+    "w_out": (int4_storage_k(13696), 4096, True),
+    "lm_head": (4096, 65536, True),
+}
+
+INT4_CANDIDATES = [
+    # (impl, config)
+    ("pipelined", {"bn": 1024, "scheme": "broadcast"}),
+    ("pipelined", {"bn": 1024, "scheme": "grouped"}),
+    ("pipelined", {"bn": 512, "scheme": "grouped"}),
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "broadcast"}),
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "grouped"}),
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "grouped"}),
+]
+
+INT8_CANDIDATES = [
+    ("grid", {"bk": 2048, "bn": 2048}),
+    ("grid", {"bk": 2048, "bn": 1024}),
+    ("grid", {"bk": 1024, "bn": 1024}),
+]
+
+
+def _chain_time(call, x, w, s):
+    """Per-call seconds for y = call(x, w_i, s_i) chained over L weights."""
+
+    @jax.jit
+    def run(x, w, s, reps):
+        def outer(_, x):
+            def body(x, wl):
+                wi, si = wl
+                y = call(x, wi, si)
+                # keep magnitudes bounded; cast back to the input dtype
+                return (y * 1e-2).astype(x.dtype)[:, : x.shape[1]], None
+
+            x, _ = jax.lax.scan(body, x, (w, s))
+            return x
+
+        x = jax.lax.fori_loop(0, reps, outer, x)
+        return x.sum()
+
+    return slope_time(lambda n: force(run(x, w, s, n)), 2, 8) / L
+
+
+def measure(kernel, m, k, n, impl, cfg):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (m, k), jnp.bfloat16)
+    if kernel == "int4":
+        w = jax.random.bits(jax.random.PRNGKey(1), (L, k // 2, n), jnp.uint8)
+        s = jnp.full((L, k // 32, n), 0.01, jnp.float16)
+        if impl == "pipelined":
+            def call(x, wi, si):
+                out = PM.int4_matmul_pallas_pipelined(
+                    x, wi, si, bn_cap=cfg["bn"], scheme=cfg["scheme"])
+                assert out is not None, "pipelined unsupported for this shape"
+                return out
+        else:
+            def call(x, wi, si):
+                return PM.int4_matmul_pallas(
+                    x, wi, si, bk_cap=cfg["bk"], bn_cap=cfg["bn"],
+                    scheme=cfg["scheme"])
+    else:
+        w = jax.random.bits(jax.random.PRNGKey(1), (L, k, n), jnp.uint8).astype(jnp.int8)
+        s = jnp.full((L, n), 0.01, jnp.float32)
+
+        def call(x, wi, si):
+            return PM.int8_matmul_pallas(x, wi, si, bk_cap=cfg["bk"],
+                                         bn_cap=cfg["bn"])
+
+    # outputs (m, n) feed the next chain link's (m, k) input; pad/trim n→k
+    if n < k:
+        def call2(x, wi, si, _call=call):
+            y = _call(x, wi, si)
+            return jnp.pad(y, ((0, 0), (0, k - y.shape[1])))
+        call = call2
+    return _chain_time(call, x, w, s)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", default="int4", choices=["int4", "int8"])
+    ap.add_argument("--m", type=int, nargs="+", default=[8])
+    ap.add_argument("--all", action="store_true",
+                    help="sweep every shape, not just traffic-dominant ones")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="max measurements this run (0 = unlimited)")
+    args = ap.parse_args()
+
+    cands = INT4_CANDIDATES if args.kernel == "int4" else INT8_CANDIDATES
+    done = 0
+    for name, (k, n, big) in SHAPES.items():
+        if not (big or args.all):
+            continue
+        for m in args.m:
+            bm = PM._block_m(m)
+            if AT.lookup(args.kernel, bm, k, n) and not args.force:
+                print(f"skip {name} m{bm} (recorded)", flush=True)
+                continue
+            best = None
+            for impl, cfg in cands:
+                if args.budget and done >= args.budget:
+                    break
+                try:
+                    t = measure(args.kernel, m, k, n, impl, cfg)
+                except Exception as e:
+                    print(json.dumps({"shape": name, "impl": impl, **cfg,
+                                      "error": repr(e)[:200]}), flush=True)
+                    continue
+                done += 1
+                print(json.dumps({"shape": name, "m": bm, "impl": impl, **cfg,
+                                  "us": round(t * 1e6, 1)}), flush=True)
+                if best is None or t < best[0]:
+                    best = (t, impl, cfg)
+            if best is not None:
+                t, impl, cfg = best
+                AT.record(args.kernel, bm, k, n, {"impl": impl, **cfg},
+                          us_per_call=t * 1e6)
+                print(f"RECORDED {args.kernel} {name} m{bm}: {impl} {cfg} "
+                      f"{t*1e6:.1f}us -> {AT.table_path()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

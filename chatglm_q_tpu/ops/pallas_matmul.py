@@ -58,8 +58,16 @@ _PERF_DEBUG_NOSCALE = os.environ.get("CHATGLM_Q_TPU_INT4_NOSCALE") == "1"
 _BK_CAP = int(os.environ.get("CHATGLM_Q_TPU_BK_CAP", "0")) or None
 _BN_CAP = int(os.environ.get("CHATGLM_Q_TPU_BN_CAP", "0")) or None
 # int4 scale scheme: "broadcast" (per-element scale multiply) or "grouped"
-# (per-group partial dots; see _int4_fwd_kernel)
+# (per-group partial dots; see _int4_fwd_kernel).  The env var (and test
+# monkeypatching of this module var) overrides the measured autotune table;
+# the table overrides the built-in default.
 _INT4_SCHEME = os.environ.get("CHATGLM_Q_TPU_INT4_SCHEME", "broadcast")
+
+
+def _resolve_scheme(scheme: str | None) -> str:
+    if scheme is not None and _INT4_SCHEME == "broadcast":
+        return scheme  # tuned value; env/monkeypatch (non-default) wins
+    return _INT4_SCHEME
 # optional per-kernel VMEM budget override (sweeps only; measured: raising
 # it to 96 MB made decode slightly SLOWER - the compiler's default budget
 # schedules better)
@@ -190,6 +198,11 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
 
 def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, interpret=None):
     """x (M, K) float @ (w (K, N) int8 ⊙ scale (N,)) → (M, N)."""
+    from . import autotune as AT
+
+    tuned = AT.lookup("int8", _block_m(x.shape[0]), w.shape[0], w.shape[1]) or {}
+    bk_cap = _BK_CAP or tuned.get("bk") or bk_cap
+    bn_cap = _BN_CAP or tuned.get("bn") or bn_cap
     if interpret is None:
         interpret = not _is_tpu()
     M, K = x.shape
@@ -244,10 +257,12 @@ def _pick_int4_bk(K: int, bk_cap: int):
     return None
 
 
-def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048, interpret=None):
+def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
+                       scheme=None, interpret=None):
     """x (M, K) @ dequant(packed (K/2, N) u8 nibble-pairs, scale (K/32, N))."""
     bk_cap = _BK_CAP or bk_cap
     bn_cap = _BN_CAP or bn_cap
+    scheme = _resolve_scheme(scheme)
     if interpret is None:
         interpret = not _is_tpu()
     M, K = x.shape
@@ -266,7 +281,7 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048, interpret=
 
     out = pl.pallas_call(
         functools.partial(_int4_fwd_kernel, interpret=interpret, k_total=K,
-                          grouped=_INT4_SCHEME == "grouped"),
+                          grouped=scheme == "grouped"),
         grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
@@ -415,7 +430,7 @@ _CK = int(os.environ.get("CHATGLM_Q_TPU_PIPE_CK", "2048"))
 
 
 def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems,
-                           *, k_total, bn):
+                           *, k_total, bn, grouped):
     n = pl.program_id(0)
     num_chunks = k_total // _CK
 
@@ -447,7 +462,7 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
         q = pltpu.bitcast(pbuf[slot], jnp.int4)            # (_CK, bn)
         w = q.astype(x_ref.dtype)
         xk = x_ref[:, pl.ds(ck * _CK, _CK)]
-        if _INT4_SCHEME == "grouped":
+        if grouped:
             s = sbuf[slot].astype(jnp.float32)             # (_CK//32, bn)
             total = jnp.zeros_like(acc_ref)
             for g in range(_CK // 32):
@@ -466,7 +481,8 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
     o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024, interpret=None):
+def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
+                                 scheme=None, interpret=None):
     """Decode-path int4 dequant matmul with explicit DMA/compute overlap.
 
     Requirements: K a multiple of 2048 (guaranteed for quantized linears by
@@ -475,6 +491,7 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024, interpret=Non
     """
     if interpret is None:
         interpret = not _is_tpu()
+    bn_cap = _BN_CAP or bn_cap
     M, K = x.shape
     K2, N = packed.shape
     if K != 2 * K2 or K % _CK or M > 64:
@@ -487,7 +504,8 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024, interpret=Non
     Mp = xp.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_int4_pipelined_kernel, k_total=K, bn=bn),
+        functools.partial(_int4_pipelined_kernel, k_total=K, bn=bn,
+                          grouped=_resolve_scheme(scheme) == "grouped"),
         grid=(N // bn,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
@@ -514,12 +532,27 @@ _NO_PIPELINE = os.environ.get("CHATGLM_Q_TPU_NO_PIPELINE") == "1"
 
 
 def int4_matmul_auto(x, packed, scale, *, interpret=None):
-    """Dispatch: pipelined decode kernel when applicable, grid kernel else."""
-    if not _NO_PIPELINE:
-        out = int4_matmul_pallas_pipelined(x, packed, scale, interpret=interpret)
+    """Dispatch: measured autotune entry when present (impl/blocks/scheme,
+    ops/autotune.py); else pipelined decode kernel when applicable, grid
+    kernel otherwise.  Env overrides (_NO_PIPELINE, _BK/BN_CAP, scheme)
+    always win over the table."""
+    from . import autotune as AT
+
+    tuned = AT.lookup("int4", _block_m(x.shape[0]), 2 * packed.shape[0],
+                      packed.shape[1]) or {}
+    impl = "grid" if _NO_PIPELINE else tuned.get("impl")
+    if impl != "grid":
+        out = int4_matmul_pallas_pipelined(
+            x, packed, scale, bn_cap=tuned.get("bn") or 1024,
+            scheme=tuned.get("scheme"), interpret=interpret,
+        )
         if out is not None:
             return out
-    return int4_matmul_pallas(x, packed, scale, interpret=interpret)
+    return int4_matmul_pallas(
+        x, packed, scale, bk_cap=tuned.get("bk") or 2048,
+        bn_cap=tuned.get("bn") or 2048, scheme=tuned.get("scheme"),
+        interpret=interpret,
+    )
 
 
 # ---------------------------------------------------------------------------

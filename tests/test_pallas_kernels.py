@@ -157,6 +157,35 @@ def test_int4_fwd_grouped_scheme(m, k, n, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_autotune_table_and_dispatch(tmp_path, monkeypatch):
+    """Measured-config table: record → lookup → int4_matmul_auto honors the
+    entry (and stays correct with a non-default scheme/blocks)."""
+    from chatglm_q_tpu.ops import autotune as AT
+
+    monkeypatch.setenv("CHATGLM_Q_TPU_AUTOTUNE", str(tmp_path / "at.json"))
+    AT.reload()
+    try:
+        k, n = 512, 384
+        assert AT.lookup("int4", 8, k, n) is None
+        AT.record("int4", 8, k, n,
+                  {"impl": "grid", "bk": 256, "bn": 128, "scheme": "grouped"},
+                  us_per_call=12.3)
+        entry = AT.lookup("int4", 8, k, n)
+        assert entry["bk"] == 256 and entry["scheme"] == "grouped"
+        # persisted: survives an in-memory drop
+        AT.reload()
+        assert AT.lookup("int4", 8, k, n)["bn"] == 128
+
+        x = rand((8, k), 20)
+        p, s = make_int4(k, n, 21)
+        out = PM.int4_matmul_auto(x, p, s, interpret=INTERPRET)
+        ref = x @ Q.unpack_int4_tpu(p, s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        AT.reload()
+
+
 @pytest.mark.parametrize("scheme", ["broadcast", "grouped"])
 def test_int4_pipelined_f16_scales(scheme, monkeypatch):
     """Scales are STORED float16 since the f16-scale change; the pipelined
