@@ -284,7 +284,24 @@ def block_forward(
         sm_scale = 1.0 / float(np.sqrt(D))
         kc = k_full.astype(q.dtype)
         vc = v_full.astype(q.dtype)
-        if kind == "flash_prefill":
+        if kind == "flash_prefill_chunk":
+            # chunked prefill: queries at absolute offsets attend the whole
+            # cache below them (paged: over a gathered dense view — the
+            # decode hot path never gathers, models/paged_kv.py)
+            chunk_lengths, chunk_starts = lengths
+            if paged:
+                from . import paged_kv as PK
+
+                kc = PK.gather_layer(kv_out[0], kv_write.layer_idx,
+                                     kv_write.page_table).astype(q.dtype)
+                vc = PK.gather_layer(kv_out[1], kv_write.layer_idx,
+                                     kv_write.page_table).astype(q.dtype)
+            ctx = PA.flash_attention_prefill(
+                q, kc, vc, chunk_lengths, sm_scale,
+                rt.attn_block_q, rt.attn_block_k, q_starts=chunk_starts,
+            )
+            attn_in_tap = ctx.reshape(B, S, G * Hg * D)
+        elif kind == "flash_prefill":
             if rt.mesh is not None and rt.kv_shard_t:
                 # sequence-parallel ring attention over the model axis: q/k/v
                 # shard S (a local slice — they arrive replicated), KV shards
@@ -583,6 +600,58 @@ def prefill(
     logits = logits[..., : config.vocab_size]
 
     new_cache = KVCache(k=new_k, v=new_v, lengths=lengths.astype(jnp.int32))
+    return logits, new_cache
+
+
+def prefill_chunk(
+    params: dict,
+    config: ChatGLM2Config,
+    input_ids: jax.Array,    # (B, Sc) one chunk of prompt tokens
+    starts: jax.Array,       # (B,) absolute position of the chunk's first token
+    chunk_valid: jax.Array,  # (B,) valid tokens in this chunk (≤ Sc)
+    cache: KVCache,
+    quant_type: str = "none",
+    dtype=jnp.bfloat16,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+):
+    """Process one chunk of a long prompt: write KV at ``starts`` and attend
+    causally over the WHOLE cache below each query's absolute position.
+
+    Chunked prefill bounds the per-admission device step so decode streams
+    are not stalled by a long prompt (serving/engine.py) and the compile set
+    stays one program regardless of prompt length.  Row lengths become
+    ``starts + chunk_valid``; returns logits at each row's last valid chunk
+    position (meaningful on the final chunk) and the updated cache.
+    ``prefill`` ≡ a single chunk at starts = 0.
+    """
+    B, Sc = input_ids.shape
+    T = cache.max_length
+    positions = starts[:, None] + jnp.arange(1, Sc + 1)[None, :]  # 1-based
+    freqs_cis = _serving_freqs(config, positions, dtype)
+    h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
+
+    new_lengths = (starts + chunk_valid).astype(jnp.int32)
+    if rt.flash_enabled() and not (rt.mesh is not None and rt.kv_shard_t):
+        mask5 = ("flash_prefill_chunk", (new_lengths, starts.astype(jnp.int32)))
+    else:
+        # query r of row b sits at absolute position starts[b] + r and
+        # attends cache slots ≤ it (the whole earlier context included)
+        tq = jnp.arange(Sc)[None, :, None]
+        tk = jnp.arange(T)[None, None, :]
+        causal = tk <= starts[:, None, None] + tq
+        bias = jnp.where(causal, 0.0, MASK_VALUE).astype(jnp.float32)
+        mask5 = bias[:, None, None, :, :]
+
+    h, new_k, new_v = _layers_scan_serving(
+        params, config, quant_type, rt, h, freqs_cis, mask5, cache, starts
+    )
+
+    h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
+    last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
+    logits = quant_linear(last, params["lm_head"], quant_type, rt)
+    logits = logits[..., : config.vocab_size]
+
+    new_cache = KVCache(k=new_k, v=new_v, lengths=new_lengths)
     return logits, new_cache
 
 

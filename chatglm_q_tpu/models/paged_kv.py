@@ -89,9 +89,10 @@ def write_pages(pool, new, layer_idx, page_table, start):
 
     S == 1 is the decode write (one row at a dynamic offset inside a
     dynamically chosen page); S > 1 is the prefill write, which requires
-    start == 0 (slot admission always prefils from position 0) so the page
-    split is static.  Batch is unrolled (engine batches are small; a vmap
-    would lower to a serial scatter anyway).
+    every ``start`` to be PAGE-ALIGNED (0 for whole-prompt admission;
+    chunked prefill uses page-multiple chunk sizes) so the page split stays
+    static.  Batch is unrolled (engine batches are small; a vmap would
+    lower to a serial scatter anyway).
     """
     B, G, S, D = new.shape
     P = pool.shape[3]
@@ -108,15 +109,18 @@ def write_pages(pool, new, layer_idx, page_table, start):
                 (layer_idx, phys, 0, off, 0),
             )
         return pool
-    # prefill: start is 0, pages split statically
+    # prefill: start is page-aligned, pages split statically
     n_pages = -(-S // P)
     for b in range(B):
+        blk0 = start[b] // P
         for j in range(n_pages):
             lo = j * P
             hi = min(S, lo + P)
             chunk = new[b, :, lo:hi][None, None]  # (1, 1, G, hi-lo, D)
+            phys = jax.lax.dynamic_index_in_dim(
+                page_table[b], blk0 + j, 0, keepdims=False)
             pool = jax.lax.dynamic_update_slice(
-                pool, chunk, (layer_idx, page_table[b, j], 0, 0, 0)
+                pool, chunk, (layer_idx, phys, 0, 0, 0)
             )
     return pool
 
@@ -189,6 +193,45 @@ def prefill_paged(
 
     new_cache = cache.replace(k_pool=kp, v_pool=vp,
                               lengths=lengths.astype(jnp.int32))
+    return logits, new_cache
+
+
+def prefill_chunk_paged(
+    params: dict,
+    config: ChatGLM2Config,
+    input_ids: jax.Array,    # (B, Sc) — Sc a multiple of the page size
+    starts: jax.Array,       # (B,) page-aligned absolute chunk offsets
+    chunk_valid: jax.Array,  # (B,)
+    cache: PagedKVCache,
+    quant_type: str = "none",
+    dtype=jnp.bfloat16,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+):
+    """Chunked prefill over the paged pool (see chatglm2.prefill_chunk).
+
+    Requires the flash path (``rt.flash_enabled()``): chunk queries attend
+    earlier context through a gathered dense view of the rows' pages —
+    acceptable at prefill (one gather per layer per chunk); the decode hot
+    path never gathers.
+    """
+    assert rt.flash_enabled(), "paged chunked prefill requires the flash path"
+    B, Sc = input_ids.shape
+    positions = starts[:, None] + jnp.arange(1, Sc + 1)[None, :]
+    freqs_cis = M._serving_freqs(config, positions, dtype)
+    h = M.quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
+
+    new_lengths = (starts + chunk_valid).astype(jnp.int32)
+    mask5 = ("flash_prefill_chunk", (new_lengths, starts.astype(jnp.int32)))
+    h, kp, vp = _layers_scan_paged(
+        params, config, quant_type, rt, h, freqs_cis, mask5, cache, starts
+    )
+
+    h = M.rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
+    last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
+    logits = M.quant_linear(last, params["lm_head"], quant_type, rt)
+    logits = logits[..., : config.vocab_size]
+
+    new_cache = cache.replace(k_pool=kp, v_pool=vp, lengths=new_lengths)
     return logits, new_cache
 
 

@@ -42,6 +42,7 @@ def _is_tpu() -> bool:
 
 def _prefill_kernel(
     lengths_ref,  # SMEM (B,)
+    starts_ref,   # SMEM (B,) — query-position offset (chunked prefill)
     q_ref,        # (1, 1, bq*Hg, D)
     k_ref,        # (1, 1, bk, D)
     v_ref,        # (1, 1, bk, D)
@@ -66,9 +67,10 @@ def _prefill_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     length = lengths_ref[b]
-    # causal block skip: lowest q position in this tile is qi*bq; a kv tile
-    # starting beyond it contributes nothing
-    first_q = qi * bq
+    # causal block skip: lowest q ABSOLUTE position in this tile is
+    # start + qi*bq; a kv tile starting beyond the tile's last position
+    # contributes nothing
+    first_q = starts_ref[b] + qi * bq
     last_q = first_q + bq - 1
 
     @pl.when((ki * bk <= last_q) & (ki * bk < length))
@@ -79,7 +81,7 @@ def _prefill_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale                          # (bq*Hg, bk)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // hg + first_q
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // hg + first_q  # absolute q positions
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
         mask = (cols <= rows) & (cols < length)
         s = jnp.where(mask, s, MASK_VALUE)
@@ -114,6 +116,7 @@ def flash_attention_prefill(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool | None = None,
+    q_starts: jax.Array | None = None,  # (B,) — chunked prefill offsets
 ) -> jax.Array:
     """Causal masked softmax(q·kᵀ·scale)·v with per-row valid lengths.
 
@@ -121,6 +124,12 @@ def flash_attention_prefill(
     that are < lengths[b] (matching the serving-mode mask in
     models/chatglm2.py prefill).  K/V arrive in the cache's (B, G, T, D)
     layout — no relayout copy on the way into the kernel.
+
+    With ``q_starts``, query row r of batch b sits at ABSOLUTE position
+    ``q_starts[b] + r`` (chunked prefill: this chunk's S new queries attend
+    the whole cache below them); ``lengths`` is then the total valid cache
+    length including this chunk, and KV blocks span the cache up to the
+    highest causal position (skipped raggedly per row).
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -128,24 +137,29 @@ def flash_attention_prefill(
     # cap the Q tile at ~512 ROWS (positions × folded heads): Mosaic compile
     # time degrades sharply on multi-thousand-row blocks (measured)
     bq = max(8 // Hg or 1, min(block_q, S, 512 // Hg or 1))
-    bk = min(block_k, S)
+    T_kv = S if q_starts is None else k.shape[2]
+    bk = min(block_k, T_kv)
     while S % bq:
         bq //= 2
-    while S % bk:
+    while T_kv % bk:
         bk //= 2
+    if q_starts is None:
+        starts = jnp.zeros((B,), jnp.int32)
+    else:
+        starts = q_starts.astype(jnp.int32)
 
     # fold heads into q rows: (B, G, S, Hg, D) → (B, G, S*Hg, D)
     qf = q.transpose(0, 2, 1, 3, 4).reshape(B, G, S * Hg, D)
     kf = k
     vf = v
 
-    grid = (B, G, S // bq, S // bk)
+    grid = (B, G, S // bq, T_kv // bk)
     out = pl.pallas_call(
         functools.partial(
             _prefill_kernel, hg=Hg, bq=bq, bk=bk, sm_scale=sm_scale
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -168,7 +182,7 @@ def flash_attention_prefill(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qf, kf, vf)
+    )(lengths.astype(jnp.int32), starts, qf, kf, vf)
 
     return out.reshape(B, G, S, Hg, D).transpose(0, 2, 1, 3, 4)
 
@@ -325,7 +339,7 @@ def flash_attention_prefill_sharded(
     q, k, v, lengths, sm_scale, mesh, block_q=256, block_k=512,
     data_axis="data", model_axis="model",
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     if not _mesh_divides(mesh, data_axis, model_axis, q.shape[0], q.shape[3]):
@@ -343,7 +357,7 @@ def flash_attention_prefill_sharded(
         mesh=mesh,
         in_specs=(q_spec, kv_spec, kv_spec, P(data_axis)),
         out_specs=q_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, lengths)
 
@@ -352,7 +366,7 @@ def flash_attention_decode_sharded(
     q, k, v, lengths, sm_scale, mesh, block_k=512,
     data_axis="data", model_axis="model",
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     if not _mesh_divides(mesh, data_axis, model_axis, q.shape[0], q.shape[2]):
@@ -366,7 +380,7 @@ def flash_attention_decode_sharded(
         mesh=mesh,
         in_specs=(q_spec, kv_spec, kv_spec, P(data_axis)),
         out_specs=q_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, lengths)
 
@@ -465,8 +479,8 @@ def flash_attention_decode_v2(
             grid=(B, G),
             in_specs=[
                 pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
             scratch_shapes=[
@@ -587,8 +601,8 @@ def flash_attention_decode_paged(
             grid=(B, G),
             in_specs=[
                 pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
             scratch_shapes=[
@@ -623,7 +637,7 @@ def flash_attention_decode_kv_tsharded(
     combine over a tp-sized all-gather (ICI traffic: tp·B·G·Hg·(D+2) floats
     per step — negligible next to the KV reads saved).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -665,6 +679,6 @@ def flash_attention_decode_kv_tsharded(
             P(data_axis),
         ),
         out_specs=P(data_axis, None, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, lengths)

@@ -509,8 +509,8 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
         grid=(N // bn,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),

@@ -92,7 +92,7 @@ def ring_attention(
 ) -> jax.Array:
     """Exact causal MQA attention with the sequence dimension sharded over
     ``axis_name``; equivalent to flash_attention_prefill on one device."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     D = q.shape[-1]
     if sm_scale is None:
@@ -108,6 +108,6 @@ def ring_attention(
         mesh=mesh,
         in_specs=(seq_spec_q, seq_spec_kv, seq_spec_kv, P(None)),
         out_specs=seq_spec_q,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, lengths)

@@ -93,7 +93,10 @@ class DistributedServingEngine(ServingEngine):
             if not candidates:
                 return
             g = min(candidates, key=lambda g: active[g])
-            self._admit_into_slot(free[g][0], self.queue.pop(0))
+            if self.prefill_chunk_size is not None:
+                self._assign_chunked(free[g][0], self.queue.pop(0))
+            else:
+                self._admit_into_slot(free[g][0], self.queue.pop(0))
 
     def sync_submissions(self, requests: Optional[list] = None, **kwargs):
         """Multi-process request ingestion: host 0 passes its pending

@@ -56,6 +56,14 @@ class Request:
 class _Slot:
     request: Optional[Request] = None
     budget: int = 0
+    # chunked-prefill state: remaining prompt ids and absolute position of
+    # the next chunk; None when the slot is decoding (or free)
+    pending_ids: Optional[list] = None
+    pending_pos: int = 0
+
+    @property
+    def decoding(self) -> bool:
+        return self.request is not None and self.pending_ids is None
 
 
 class ServingEngine:
@@ -67,6 +75,7 @@ class ServingEngine:
         max_batch: int = 8,
         max_seq_len: Optional[int] = None,
         decode_chunk: int = 16,
+        prefill_chunk_size: Optional[int] = None,
         rt: TpuRuntimeConfig = _DEFAULT_RT,
         dtype=None,
         kv_dtype=None,
@@ -82,6 +91,10 @@ class ServingEngine:
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len or self.mc.max_sequence_length
         self.chunk = decode_chunk
+        # chunked admission: prompts prefill in fixed-size chunks batched
+        # across slots, one chunk call per step, so a long prompt never
+        # stalls the decode stream (None = whole-prompt admission)
+        self.prefill_chunk_size = prefill_chunk_size
         self.eos_token_id = tokenizer["</s>"] if tokenizer is not None else 2
 
         self.kv_dtype = kv_dtype or self.dtype
@@ -128,7 +141,7 @@ class ServingEngine:
             return logits[0], M.KVCache(k=new_k, v=new_v, lengths=new_lengths)
 
         @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
-        def _decode_chunk(params, cache, first_tok, rng, active, sampling, n, top_k):
+        def _decode_chunk(params, cache, first_tok, rng, active, free, sampling, n, top_k):
             # per-slot sampling params (B,) — requests with different
             # temperature/top_p/top_k coexist in one chunk
             temperature, top_p, top_k_limit = sampling
@@ -147,21 +160,37 @@ class ServingEngine:
                 nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
                 return (nxt, cache), nxt
 
-            # inactive (free) slots: zero their lengths for the chunk so the
-            # ragged attention kernel skips ALL their KV blocks — decode
-            # attention cost scales with the ACTIVE batch, not max_batch
-            # (their cache rows are dead, so the slot-0.. writes the chunk
-            # makes there are harmless)
+            # FREE slots: zero their lengths for the chunk so the ragged
+            # attention kernel skips ALL their KV blocks — decode attention
+            # cost scales with the occupied batch (their cache rows are
+            # dead, so the slot-0.. writes the chunk makes there are
+            # harmless).  Mid-prefill slots (occupied, not active) must KEEP
+            # their lengths: zeroing would park their chunk writes at slot 0
+            # and corrupt the already-prefilled prefix — with real lengths
+            # the writes land above the prefix, where the next prefill
+            # chunk overwrites them.
             orig_lengths = cache.lengths
-            cache = cache.replace(lengths=jnp.where(active, orig_lengths, 0))
+            cache = cache.replace(lengths=jnp.where(free, 0, orig_lengths))
             rngs = jax.random.split(rng, n)
             (last, cache), toks = jax.lax.scan(step, (first_tok, cache), rngs)
-            # inactive slots must not advance their lengths
+            # only decoding slots advance their lengths
             fixed_lengths = jnp.where(active, cache.lengths, orig_lengths)
             return toks.T, cache.replace(lengths=fixed_lengths)
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prefill_chunk_batch(params, cache, ids_BxSc, starts, valids):
+            # rows with valids == 0 (free or decoding slots) are no-ops:
+            # their lengths are preserved (starts = current length) and the
+            # garbage KV they write above their length is overwritten by
+            # their own next decode steps before it can ever be attended
+            return M.prefill_chunk(
+                params, self.mc, ids_BxSc, starts, valids, cache, qt,
+                self.dtype, self.rt,
+            )
+
         self._prefill_into_slot = _prefill_into_slot
         self._decode_chunk = _decode_chunk
+        self._prefill_chunk_batch = _prefill_chunk_batch
 
     # ------------------------------------------------------------------
 
@@ -184,21 +213,65 @@ class ServingEngine:
             b *= 2
         return min(b, self.max_seq_len)
 
-    def _admit(self):
-        """Prefill queued requests into free slots."""
-        for slot_idx, slot in enumerate(self.slots):
-            if slot.request is not None or not self.queue:
-                continue
-            self._admit_into_slot(slot_idx, self.queue.pop(0))
-
-    def _admit_into_slot(self, slot_idx: int, req: Request):
-        slot = self.slots[slot_idx]
+    def _sliced_prompt(self, req: Request) -> list:
         # keep the most recent context, reserving generation room (like
         # decoder.py): a budget ≥ max_seq_len must not slice the prompt
         # to nothing (negative-start slice turning positive)
         reserve = max(1, min(req.max_new_tokens, 64))
         keep = max(1, self.max_seq_len - reserve)
-        ids = req.prompt_ids[-keep:]
+        return req.prompt_ids[-keep:]
+
+    def _admit(self):
+        """Prefill queued requests into free slots (whole-prompt mode) or
+        assign them for chunked prefill."""
+        for slot_idx, slot in enumerate(self.slots):
+            if slot.request is not None or not self.queue:
+                continue
+            if self.prefill_chunk_size is not None:
+                self._assign_chunked(slot_idx, self.queue.pop(0))
+            else:
+                self._admit_into_slot(slot_idx, self.queue.pop(0))
+
+    def _assign_chunked(self, slot_idx: int, req: Request):
+        slot = self.slots[slot_idx]
+        slot.request = req
+        slot.pending_ids = self._sliced_prompt(req)
+        slot.pending_pos = 0
+        if self.logger:
+            self.logger.log("assign", req_id=req.req_id, slot=slot_idx,
+                            prompt_len=len(slot.pending_ids),
+                            chunk=self.prefill_chunk_size)
+
+    def _advance_prefills(self):
+        """One batched prefill-chunk step for every slot mid-prompt."""
+        pending = [i for i, s in enumerate(self.slots) if s.pending_ids is not None]
+        if not pending:
+            return
+        B, Sc = self.max_batch, self.prefill_chunk_size
+        ids = np.zeros((B, Sc), np.int32)
+        starts = np.asarray(self._host_lengths, np.int32).copy()
+        valids = np.zeros((B,), np.int32)
+        for b in pending:
+            s = self.slots[b]
+            chunk = s.pending_ids[s.pending_pos : s.pending_pos + Sc]
+            ids[b, : len(chunk)] = chunk
+            starts[b] = s.pending_pos
+            valids[b] = len(chunk)
+        logits, self.cache = self._prefill_chunk_batch(
+            self.params, self.cache, jnp.asarray(ids),
+            jnp.asarray(starts), jnp.asarray(valids),
+        )
+        for b in pending:
+            s = self.slots[b]
+            s.pending_pos += int(valids[b])
+            if s.pending_pos >= len(s.pending_ids):
+                n_ids = len(s.pending_ids)
+                s.pending_ids = None
+                self._start_decoding(b, s.request, logits[b], n_ids)
+
+    def _admit_into_slot(self, slot_idx: int, req: Request):
+        slot = self.slots[slot_idx]
+        ids = self._sliced_prompt(req)
         bucket = self._bucket(len(ids))
         padded = np.zeros((1, bucket), np.int32)
         padded[0, : len(ids)] = ids
@@ -206,6 +279,16 @@ class ServingEngine:
             self.params, self.cache, jnp.asarray(padded),
             jnp.int32(len(ids)), jnp.int32(slot_idx), bucket=bucket,
         )
+        slot.request = req
+        if self.logger:
+            self.logger.log("admit", req_id=req.req_id, slot=slot_idx,
+                            prompt_len=len(ids), bucket=bucket)
+        self._start_decoding(slot_idx, req, logits, len(ids))
+
+    def _start_decoding(self, slot_idx: int, req: Request, logits, n_ids: int):
+        """Sample the first token from the prompt's final logits and switch
+        the slot to the decode stream."""
+        slot = self.slots[slot_idx]
         self._rng, sub = jax.random.split(self._rng)
         if req.temperature > 0:
             tok = int(top_p_sampling(sub, logits, req.top_k,
@@ -213,15 +296,11 @@ class ServingEngine:
         else:
             tok = int(greedy_sampling(logits))
         req.generated.append(tok)
-        slot.request = req
         slot.budget = req.max_new_tokens - 1
         self._last_tok[slot_idx] = tok
-        self._host_lengths[slot_idx] = len(ids)
+        self._host_lengths[slot_idx] = n_ids
         self.stats["admitted"] += 1
         self.stats["generated_tokens"] += 1
-        if self.logger:
-            self.logger.log("admit", req_id=req.req_id, slot=slot_idx,
-                            prompt_len=len(ids), bucket=bucket)
         self._maybe_finish(slot_idx)
 
     def _maybe_finish(self, slot_idx: int):
@@ -248,12 +327,12 @@ class ServingEngine:
                                 generated=len(req.generated))
 
     def step(self) -> list[tuple[int, list]]:
-        """Admit + one decode chunk.  Returns [(req_id, new_tokens)] for
-        sequences that advanced this step."""
+        """Admit, advance pending prefill chunks, one decode chunk.
+        Returns [(req_id, new_tokens)] for sequences that advanced."""
         self._admit()
-        active_mask = np.array(
-            [s.request is not None for s in self.slots], bool
-        )
+        self._advance_prefills()
+        active_mask = np.array([s.decoding for s in self.slots], bool)
+        free_mask = np.array([s.request is None for s in self.slots], bool)
         if not active_mask.any():
             return []
         # fixed chunk length: over-generation past a slot's budget/eos is
@@ -283,6 +362,7 @@ class ServingEngine:
             jnp.asarray(self._last_tok),
             sub,
             jnp.asarray(active_mask),
+            jnp.asarray(free_mask),
             (jnp.asarray(temps), jnp.asarray(tops), jnp.asarray(top_ks)),
             n,
             sort_k,
@@ -291,7 +371,7 @@ class ServingEngine:
         out = []
         for b, slot in enumerate(self.slots):
             req = slot.request
-            if req is None:
+            if req is None or not slot.decoding:
                 continue
             new = []
             # cache positions past max_seq_len - 1 are clamped writes:

@@ -39,6 +39,9 @@ class PagedServingEngine(ServingEngine):
         self.num_pages = num_pages
         self.page_size = page_size
         super().__init__(config, params, tokenizer, **kwargs)
+        if self.prefill_chunk_size is not None:
+            assert self.prefill_chunk_size % page_size == 0, (
+                "chunked prefill over pages requires page-aligned chunks")
         # page 0 reserved for garbage writes of inactive slots
         self._free_pages = list(range(1, num_pages))
         self._slot_pages: dict[int, list[int]] = {}
@@ -75,8 +78,22 @@ class PagedServingEngine(ServingEngine):
                 lengths=cache.lengths.at[slot].set(length),
             )
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prefill_chunk_batch(params, cache, ids_BxSc, starts, valids):
+            # rows not mid-prefill (valids == 0) must write NOTHING through
+            # their table: free slots' rows are already zeroed (garbage
+            # page 0), but decoding rows' real tables would let non-page-
+            # aligned starts corrupt their own pages — mask them to page 0
+            pt_eff = jnp.where((valids > 0)[:, None], cache.page_table, 0)
+            sub = cache.replace(page_table=pt_eff)
+            logits, sub = PK.prefill_chunk_paged(
+                params, self.mc, ids_BxSc, starts, valids, sub, qt,
+                self.dtype, self.rt,
+            )
+            return logits, sub.replace(page_table=cache.page_table)
+
         @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
-        def _decode_chunk(params, cache, first_tok, rng, active, sampling, n, top_k):
+        def _decode_chunk(params, cache, first_tok, rng, active, free, sampling, n, top_k):
             temperature, top_p, top_k_limit = sampling
 
             def step(carry, rng_step):
@@ -93,11 +110,13 @@ class PagedServingEngine(ServingEngine):
                 nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
                 return (nxt, cache), nxt
 
-            # inactive slots: zero lengths (ragged kernel skips their pages)
-            # — their in-chunk writes land on garbage page 0 via their
-            # zeroed table rows
+            # free slots: zero lengths (ragged kernel skips their pages);
+            # their in-chunk writes land on garbage page 0 via their zeroed
+            # table rows.  Mid-prefill slots keep their lengths (see
+            # engine.py _decode_chunk) — their writes land above the prefix
+            # inside their own allocated pages.
             orig_lengths = cache.lengths
-            cache = cache.replace(lengths=jnp.where(active, orig_lengths, 0))
+            cache = cache.replace(lengths=jnp.where(free, 0, orig_lengths))
             rngs = jax.random.split(rng, n)
             (last, cache), toks = jax.lax.scan(step, (first_tok, cache), rngs)
             fixed_lengths = jnp.where(active, cache.lengths, orig_lengths)
@@ -105,6 +124,7 @@ class PagedServingEngine(ServingEngine):
 
         self._prefill_into_slot = _prefill_into_slot
         self._decode_chunk = _decode_chunk
+        self._prefill_chunk_batch = _prefill_chunk_batch
 
     # -- page allocation -------------------------------------------------
 
@@ -140,7 +160,10 @@ class PagedServingEngine(ServingEngine):
                     jnp.asarray(row))
             )
             self.queue.pop(0)
-            self._admit_into_slot(slot_idx, req)
+            if self.prefill_chunk_size is not None:
+                self._assign_chunked(slot_idx, req)
+            else:
+                self._admit_into_slot(slot_idx, req)
 
     def _maybe_finish(self, slot_idx: int):
         super()._maybe_finish(slot_idx)
