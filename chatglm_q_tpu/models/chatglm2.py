@@ -239,8 +239,9 @@ def block_forward(
         vp = PK.write_pages(kv_write.v_pool, vw, kv_write.layer_idx,
                             kv_write.page_table, kv_write.start)
         kv_out = (kp, vp)
-        if S == 1 and not isinstance(mask_bias, tuple):
-            # decode XLA fallback: dense (B, G, MP*P, D) view of the pool
+        if not isinstance(mask_bias, tuple):
+            # XLA fallback (decode, or prefill masked over the full pool
+            # length): dense (B, G, MP*P, D) view of the pool
             k_full = PK.gather_layer(kp, kv_write.layer_idx, kv_write.page_table)
             v_full = PK.gather_layer(vp, kv_write.layer_idx, kv_write.page_table)
         else:

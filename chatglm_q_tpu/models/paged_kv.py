@@ -176,8 +176,11 @@ def prefill_paged(
     if rt.flash_enabled():
         mask5 = ("flash_prefill", lengths.astype(jnp.int32))
     else:
+        # XLA fallback attends a gathered dense pool view (block_forward),
+        # so the mask spans the pool's full logical length
+        T = cache.max_length
         tq = jnp.arange(S)[:, None]
-        tk = jnp.arange(S)[None, :]
+        tk = jnp.arange(T)[None, :]
         bias = jnp.where(tk <= tq, 0.0, M.MASK_VALUE).astype(jnp.float32)
         mask5 = bias[None, None, None, :, :]
 
@@ -209,19 +212,25 @@ def prefill_chunk_paged(
 ):
     """Chunked prefill over the paged pool (see chatglm2.prefill_chunk).
 
-    Requires the flash path (``rt.flash_enabled()``): chunk queries attend
-    earlier context through a gathered dense view of the rows' pages —
-    acceptable at prefill (one gather per layer per chunk); the decode hot
-    path never gathers.
+    Chunk queries attend earlier context through a gathered dense view of
+    the rows' pages — acceptable at prefill (one gather per layer per
+    chunk); the decode hot path never gathers.
     """
-    assert rt.flash_enabled(), "paged chunked prefill requires the flash path"
     B, Sc = input_ids.shape
     positions = starts[:, None] + jnp.arange(1, Sc + 1)[None, :]
     freqs_cis = M._serving_freqs(config, positions, dtype)
     h = M.quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
 
     new_lengths = (starts + chunk_valid).astype(jnp.int32)
-    mask5 = ("flash_prefill_chunk", (new_lengths, starts.astype(jnp.int32)))
+    if rt.flash_enabled():
+        mask5 = ("flash_prefill_chunk", (new_lengths, starts.astype(jnp.int32)))
+    else:
+        T = cache.max_length
+        tq = jnp.arange(Sc)[None, :, None]
+        tk = jnp.arange(T)[None, None, :]
+        causal = tk <= starts[:, None, None] + tq
+        bias = jnp.where(causal, 0.0, M.MASK_VALUE).astype(jnp.float32)
+        mask5 = bias[:, None, None, :, :]
     h, kp, vp = _layers_scan_paged(
         params, config, quant_type, rt, h, freqs_cis, mask5, cache, starts
     )

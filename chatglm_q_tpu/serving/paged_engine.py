@@ -34,17 +34,33 @@ from .engine import ServingEngine
 
 class PagedServingEngine(ServingEngine):
     def __init__(self, config, params, tokenizer=None, *,
-                 num_pages: int = 64, page_size: int = 256, **kwargs):
+                 num_pages: int = 64, page_size: int = 256,
+                 prefix_cache: bool = False, **kwargs):
         # consumed by _make_cache, which super().__init__ calls
         self.num_pages = num_pages
         self.page_size = page_size
+        self.prefix_cache = prefix_cache
         super().__init__(config, params, tokenizer, **kwargs)
         if self.prefill_chunk_size is not None:
             assert self.prefill_chunk_size % page_size == 0, (
                 "chunked prefill over pages requires page-aligned chunks")
+        if prefix_cache:
+            # a prefix hit resumes prefill at a page-aligned offset — that
+            # is exactly the chunked-prefill entry point
+            assert self.prefill_chunk_size is not None, (
+                "prefix_cache requires prefill_chunk_size")
         # page 0 reserved for garbage writes of inactive slots
         self._free_pages = list(range(1, num_pages))
         self._slot_pages: dict[int, list[int]] = {}
+        # refcount per allocated physical page: slots and prefix-registry
+        # entries each hold one reference; a page returns to the free list
+        # at zero
+        self._page_refs: dict[int, int] = {}
+        # page-aligned token prefix → its KV pages, LRU order (evicted,
+        # releasing the registry's references, under allocation pressure)
+        from collections import OrderedDict
+        self._prefix_lru: "OrderedDict[tuple, list[int]]" = OrderedDict()
+        self.stats.update(prefix_hits=0, prefix_tokens_reused=0)
 
     def _make_cache(self):
         return PK.init_paged_kv_cache(
@@ -55,6 +71,69 @@ class PagedServingEngine(ServingEngine):
     @property
     def pages_in_use(self) -> int:
         return sum(len(p) for p in self._slot_pages.values())
+
+    @property
+    def pages_cached(self) -> int:
+        return sum(len(p) for p in self._prefix_lru.values())
+
+    # -- page refcounting ------------------------------------------------
+
+    def _retain(self, pages):
+        for p in pages:
+            self._page_refs[p] = self._page_refs.get(p, 0) + 1
+
+    def _release(self, pages):
+        for p in pages:
+            self._page_refs[p] -= 1
+            if self._page_refs[p] == 0:
+                del self._page_refs[p]
+                self._free_pages.append(p)
+
+    def _alloc(self, n: int):
+        """Take n fresh pages (ref 1 each), evicting LRU prefix entries
+        under pressure; None if the pool cannot satisfy the request."""
+        while len(self._free_pages) < n and self._prefix_lru:
+            key, pages = self._prefix_lru.popitem(last=False)
+            self._release(pages)
+            if self.logger:
+                self.logger.log("prefix_evict", tokens=len(key),
+                                pages=len(pages))
+        if len(self._free_pages) < n:
+            return None
+        pages = [self._free_pages.pop() for _ in range(n)]
+        self._retain(pages)
+        return pages
+
+    # -- prefix cache ----------------------------------------------------
+
+    def _match_prefix(self, ids: list):
+        """Longest registered page-aligned prefix strictly shorter than the
+        prompt (the final token must prefill so its logits exist)."""
+        P = self.page_size
+        for k in range((len(ids) - 1) // P, 0, -1):
+            key = tuple(ids[: k * P])
+            if key in self._prefix_lru:
+                self._prefix_lru.move_to_end(key)
+                return list(self._prefix_lru[key]), k * P
+        return [], 0
+
+    def _start_decoding(self, slot_idx, req, logits, n_ids):
+        if self.prefix_cache:
+            # the prompt's KV is fully written: publish its page-aligned
+            # prefix for reuse (registry holds its own page references)
+            ids = self._sliced_prompt(req)
+            k = (len(ids) - 1) // self.page_size
+            key = tuple(ids[: k * self.page_size])
+            if k >= 1 and key not in self._prefix_lru:
+                pages = self._slot_pages[slot_idx][:k]
+                self._retain(pages)
+                self._prefix_lru[key] = pages
+        super()._start_decoding(slot_idx, req, logits, n_ids)
+
+    def clear_prefix_cache(self):
+        while self._prefix_lru:
+            _, pages = self._prefix_lru.popitem(last=False)
+            self._release(pages)
 
     # -- programs --------------------------------------------------------
 
@@ -144,14 +223,22 @@ class PagedServingEngine(ServingEngine):
             if slot.request is not None or not self.queue:
                 continue
             req = self.queue[0]
-            n = self._pages_needed(req)
-            if n > len(self._free_pages):
+            ids = self._sliced_prompt(req)
+            shared, shared_tokens = (
+                self._match_prefix(ids) if self.prefix_cache else ([], 0))
+            fresh_needed = self._pages_needed(req) - len(shared)
+            # retain BEFORE _alloc: its LRU eviction could otherwise free
+            # the very pages just matched
+            self._retain(shared)
+            fresh = self._alloc(max(fresh_needed, 0))
+            if fresh is None:
+                self._release(shared)
                 if self.logger:
                     self.logger.log("admit_wait", req_id=req.req_id,
-                                    pages_needed=n,
+                                    pages_needed=fresh_needed,
                                     pages_free=len(self._free_pages))
                 return  # backpressure: wait for finishes to free pages
-            pages = [self._free_pages.pop() for _ in range(n)]
+            pages = shared + fresh
             self._slot_pages[slot_idx] = pages
             row = np.zeros((self.cache.page_table.shape[1],), np.int32)
             row[: len(pages)] = pages
@@ -160,15 +247,26 @@ class PagedServingEngine(ServingEngine):
                     jnp.asarray(row))
             )
             self.queue.pop(0)
+            if shared_tokens:
+                self.stats["prefix_hits"] += 1
+                self.stats["prefix_tokens_reused"] += shared_tokens
+                if self.logger:
+                    self.logger.log("prefix_hit", req_id=req.req_id,
+                                    tokens=shared_tokens, pages=len(shared))
             if self.prefill_chunk_size is not None:
                 self._assign_chunked(slot_idx, req)
+                # resume prefill after the reused prefix (page-aligned)
+                self.slots[slot_idx].pending_pos = shared_tokens
+                self._host_lengths[slot_idx] = shared_tokens
+                self.cache = self.cache.replace(
+                    lengths=self.cache.lengths.at[slot_idx].set(shared_tokens))
             else:
                 self._admit_into_slot(slot_idx, req)
 
     def _maybe_finish(self, slot_idx: int):
         super()._maybe_finish(slot_idx)
         if self.slots[slot_idx].request is None and self._slot_pages.get(slot_idx):
-            self._free_pages.extend(self._slot_pages.pop(slot_idx))
+            self._release(self._slot_pages.pop(slot_idx))
             # reset the table row so a recycled page can't be written through
             # a stale mapping (inactive-slot chunk writes must hit page 0)
             self.cache = self.cache.replace(

@@ -163,6 +163,59 @@ def test_paged_engine_matches_dense_engine(params):
     assert got == want, (got, want)
 
 
+def test_prefix_cache_reuse_token_exact(params):
+    """Requests sharing a page-aligned prompt prefix must reuse its KV pages
+    (no recompute) and still emit exactly the dense engine's tokens."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    rng = np.random.RandomState(11)
+    prefix = rng.randint(3, 120, size=24).tolist()
+    prompts = [prefix + rng.randint(3, 120, size=n).tolist() for n in (5, 3, 9)]
+
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    kw = dict(max_batch=2, max_seq_len=64, decode_chunk=4)
+    dense = ServingEngine(load_cfg, params, None, rt=XLA_RT, **kw)
+    paged = PagedServingEngine(load_cfg, params, None, rt=XLA_RT,
+                               num_pages=40, page_size=8,
+                               prefill_chunk_size=8, prefix_cache=True, **kw)
+    want, got = [], []
+    for p in prompts:  # sequential: later prompts hit the published prefix
+        want += _run(dense, [p], max_new_tokens=6)
+        got += _run(paged, [p], max_new_tokens=6)
+    assert got == want, (got, want)
+    # first request publishes the prefix; the other two reuse it
+    assert paged.stats["prefix_hits"] == 2, paged.stats
+    # 24-token prefix = 3 pages of 8 reused per hit
+    assert paged.stats["prefix_tokens_reused"] == 48, paged.stats
+    assert paged.pages_in_use == 0
+    assert paged.pages_cached > 0
+    paged.clear_prefix_cache()
+    assert paged.pages_cached == 0
+    assert sorted(paged._free_pages) == list(range(1, 40))
+
+
+def test_prefix_cache_eviction_under_pressure(params):
+    """A pool too small to keep cached prefixes must evict them (LRU) to
+    admit new work — never deadlock, outputs stay exact."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    rng = np.random.RandomState(12)
+    prompts = [rng.randint(3, 120, size=n).tolist() for n in (25, 30, 28, 21)]
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    kw = dict(max_batch=2, max_seq_len=64, decode_chunk=4)
+    dense = ServingEngine(load_cfg, params, None, rt=XLA_RT, **kw)
+    # 11 usable pages; each request needs ~5 — cached prefixes must yield
+    paged = PagedServingEngine(load_cfg, params, None, rt=XLA_RT,
+                               num_pages=12, page_size=8,
+                               prefill_chunk_size=8, prefix_cache=True, **kw)
+    want = _run(dense, prompts, max_new_tokens=6)
+    got = _run(paged, prompts, max_new_tokens=6)
+    assert got == want, (got, want)
+    assert paged.pages_in_use == 0
+
+
 def test_paged_engine_backpressure_and_recycling(params):
     """A pool too small for all requests at once: admissions must wait for
     pages, recycled pages must serve later requests, and every output must
