@@ -50,13 +50,16 @@ SHAPES = {
 }
 
 INT4_CANDIDATES = [
-    # (impl, config)
-    ("pipelined", {"bn": 1024, "scheme": "broadcast"}),
+    # (impl, config) — bt_grouped first: the round-1 attribution predicts
+    # it removes BOTH serial dequant costs (convert + scale multiply)
+    ("pipelined", {"bn": 1024, "scheme": "bt_grouped"}),
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "bt_grouped"}),
     ("pipelined", {"bn": 1024, "scheme": "grouped"}),
-    ("pipelined", {"bn": 512, "scheme": "grouped"}),
-    ("grid", {"bk": 2048, "bn": 2048, "scheme": "broadcast"}),
+    ("pipelined", {"bn": 1024, "scheme": "broadcast"}),
     ("grid", {"bk": 2048, "bn": 2048, "scheme": "grouped"}),
-    ("grid", {"bk": 2048, "bn": 1024, "scheme": "grouped"}),
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "broadcast"}),
+    ("pipelined", {"bn": 512, "scheme": "bt_grouped"}),
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "bt_grouped"}),
 ]
 
 INT8_CANDIDATES = [

@@ -120,6 +120,25 @@ def _unpack_tile_int4(p_tile: jax.Array, interpret: bool) -> jax.Array:
     return jnp.stack([lo, hi], axis=1).reshape(2 * k2, bn)
 
 
+def _bittrick_unpack(p_tile: jax.Array, interpret: bool) -> jax.Array:
+    """(bk/2, bn) u8 nibble pairs → (bk, bn) bfloat16 of value 256 + 2u,
+    u = q + 8 ∈ [0, 15] the biased nibble.
+
+    The nibble is OR-ed into the low mantissa bits of bf16 256.0 (0x4380):
+    256·(1 + u/128) = 256 + 2u, every value exactly representable — the
+    int→float convert (round-1 attribution: ≈3.6 ms/token of serial VPU
+    work) becomes two ALU ops and a bitcast.  s·q then equals
+    (s/2)·(256 + 2u) − 136·s, recovered exactly by the bt_grouped scheme's
+    rank-1 correction (see _int4_fwd_kernel).
+    """
+    if not interpret:
+        q = pltpu.bitcast(p_tile, jnp.int4)
+        u16 = q.astype(jnp.int16) & 0xF
+        return pltpu.bitcast(u16 | 0x4380, jnp.bfloat16)
+    qf = _unpack_tile_int4(p_tile, True).astype(jnp.float32)
+    return (256.0 + 2.0 * (qf + 8.0)).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernels
 # ---------------------------------------------------------------------------
@@ -141,10 +160,10 @@ def _int8_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
 
 
 def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
-                     grouped=False):
+                     scheme="broadcast"):
     """int4g32 fused dequant-matmul K-step.
 
-    Two scale schemes:
+    Three scale schemes:
     * broadcast (default round 1): dequantized weights are multiplied by the
       group scale elementwise — 2 VPU ops per WEIGHT element.
     * ``grouped``: per-group (bm, 32)·(32, bn) partial dots on the UNSCALED
@@ -152,6 +171,10 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
       drops from O(bk·bn) to O(gb·bm·bn), 32/bm× less VPU traffic at decode
       (the round-1 attribution measured the broadcast multiply at
       5.5 ms/token, ~35% of the whole step; docs/RESULTS.md).
+    * ``bt_grouped``: grouped partials on _bittrick_unpack's biased-nibble
+      bf16 weights (no int→float convert) with the −136·s offset folded
+      into ONE rank-1 (bm, gb)·(gb, bn) MXU matmul on per-group activation
+      sums — exact, and NO per-weight-element VPU work remains at all.
     """
     k = pl.program_id(2)
 
@@ -159,10 +182,15 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = _unpack_tile_int4(p_ref[...], interpret)          # (bk, bn) int4
-    bk, bn = q.shape
+    bittrick = scheme == "bt_grouped" and not _PERF_DEBUG_NOSCALE
+    if bittrick:
+        w = _bittrick_unpack(p_ref[...], interpret)       # (bk, bn) bf16
+        bk, bn = w.shape
+    else:
+        q = _unpack_tile_int4(p_ref[...], interpret)      # (bk, bn) int4
+        bk, bn = q.shape
+        w = q.astype(x_ref.dtype)
     gb = bk // 32
-    w = q.astype(x_ref.dtype)
     xv = x_ref[...]
     s = s_ref[...]
     if k_total % bk:
@@ -177,7 +205,22 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
         xv = jnp.where(cols < valid, xv, jnp.zeros_like(xv))
         srows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(srows * 32 < valid, s, jnp.zeros_like(s))
-    if grouped and not _PERF_DEBUG_NOSCALE:
+    if bittrick:
+        s2 = s.astype(jnp.float32) * 0.5                  # (gb, bn)
+        xb = xv.astype(w.dtype)  # the offset below must see the SAME
+        # rounded activations as the dots, or the −136·s term mis-cancels
+        total = jnp.zeros_like(acc_ref)
+        for g in range(gb):
+            pg = jnp.dot(xb[:, 32 * g:32 * (g + 1)],
+                         w[32 * g:32 * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s2[g][None, :]
+        # rank-1 offset: s·q = (s/2)(256+2u) − 136·s = s2·w_bt − 272·s2
+        xsum = xb.astype(jnp.float32).reshape(
+            xb.shape[0], gb, 32).sum(axis=2)              # (bm, gb)
+        total -= 272.0 * jnp.dot(xsum, s2, preferred_element_type=jnp.float32)
+        acc_ref[...] += total
+    elif scheme == "grouped" and not _PERF_DEBUG_NOSCALE:
         s = s.astype(jnp.float32)                         # (gb, bn)
         total = jnp.zeros_like(acc_ref)
         for g in range(gb):
@@ -281,7 +324,7 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
 
     out = pl.pallas_call(
         functools.partial(_int4_fwd_kernel, interpret=interpret, k_total=K,
-                          grouped=scheme == "grouped"),
+                          scheme=scheme),
         grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
@@ -430,7 +473,7 @@ _CK = int(os.environ.get("CHATGLM_Q_TPU_PIPE_CK", "2048"))
 
 
 def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems,
-                           *, k_total, bn, grouped):
+                           *, k_total, bn, scheme, interpret=False):
     n = pl.program_id(0)
     num_chunks = k_total // _CK
 
@@ -459,10 +502,27 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
         for d in get_dmas(slot, ck):
             d.wait()
 
+        xk = x_ref[:, pl.ds(ck * _CK, _CK)]
+        if scheme == "bt_grouped":
+            w = _bittrick_unpack(pbuf[slot], interpret)    # (_CK, bn) bf16
+            s2 = sbuf[slot].astype(jnp.float32) * 0.5      # (_CK//32, bn)
+            xb = xk.astype(w.dtype)  # offset must see the same rounded
+            # activations as the dots (exact cancellation of the bias)
+            total = jnp.zeros_like(acc_ref)
+            for g in range(_CK // 32):
+                pg = jnp.dot(xb[:, 32 * g:32 * (g + 1)],
+                             w[32 * g:32 * (g + 1)],
+                             preferred_element_type=jnp.float32)
+                total += pg * s2[g][None, :]
+            xsum = xb.astype(jnp.float32).reshape(
+                xb.shape[0], _CK // 32, 32).sum(axis=2)
+            total -= 272.0 * jnp.dot(xsum, s2,
+                                     preferred_element_type=jnp.float32)
+            acc_ref[...] += total
+            return ()
         q = pltpu.bitcast(pbuf[slot], jnp.int4)            # (_CK, bn)
         w = q.astype(x_ref.dtype)
-        xk = x_ref[:, pl.ds(ck * _CK, _CK)]
-        if grouped:
+        if scheme == "grouped":
             s = sbuf[slot].astype(jnp.float32)             # (_CK//32, bn)
             total = jnp.zeros_like(acc_ref)
             for g in range(_CK // 32):
@@ -505,7 +565,7 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
 
     out = pl.pallas_call(
         functools.partial(_int4_pipelined_kernel, k_total=K, bn=bn,
-                          grouped=_resolve_scheme(scheme) == "grouped"),
+                          scheme=_resolve_scheme(scheme), interpret=interpret),
         grid=(N // bn,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda n: (0, 0), memory_space=pltpu.VMEM),

@@ -144,17 +144,27 @@ def test_dynamic_int8_matmul_close():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("scheme", ["grouped", "bt_grouped"])
 @pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (8, 576, 128)])
-def test_int4_fwd_grouped_scheme(m, k, n, monkeypatch):
-    """The grouped-scale scheme (per-group partial dots) must match the
-    broadcast scheme / oracle exactly, incl. the masked partial final K
-    block (k=576 → bk 512 + masked 64)."""
-    monkeypatch.setattr(PM, "_INT4_SCHEME", "grouped")
+def test_int4_fwd_alt_schemes(m, k, n, scheme, monkeypatch):
+    """The grouped-scale scheme (per-group partial dots) and the bittrick
+    scheme (biased-nibble bf16 weights + rank-1 offset correction) must
+    match the broadcast scheme / oracle, incl. the masked partial final K
+    block (k=576 → bk 512 + masked 64).  bt_grouped computes on
+    bf16-rounded activations (what the MXU sees anyway), so the oracle
+    rounds x the same way."""
+    monkeypatch.setattr(PM, "_INT4_SCHEME", scheme)
     x = rand((m, k), 5)
     p, s = make_int4(k, n, 6)
     out = PM.int4_matmul_pallas(x, p, s, interpret=INTERPRET)
-    ref = x @ Q.unpack_int4_tpu(p, s)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    deq = Q.unpack_int4_tpu(p, s)
+    # bt_grouped sees bf16-rounded activations; shapes that fall back to
+    # the jnp path (no aligned bk) see f32 — accept whichever ran
+    errs = [
+        float(jnp.abs(out - x @ deq).max()),
+        float(jnp.abs(out - x.astype(jnp.bfloat16).astype(jnp.float32) @ deq).max()),
+    ]
+    assert min(errs) < 1e-3, errs
 
 
 def test_autotune_table_and_dispatch(tmp_path, monkeypatch):
@@ -202,12 +212,14 @@ def test_int4_pipelined_f16_scales(scheme, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-2, atol=1e-2)
 
 
-def test_int4_pipelined_grouped_scheme(monkeypatch):
-    monkeypatch.setattr(PM, "_INT4_SCHEME", "grouped")
+@pytest.mark.parametrize("scheme", ["grouped", "bt_grouped"])
+def test_int4_pipelined_alt_schemes(scheme, monkeypatch):
+    monkeypatch.setattr(PM, "_INT4_SCHEME", scheme)
     k, n = 4096, 256
     x = rand((4, k), 7)
     p, s = make_int4(k, n, 8)
     out = PM.int4_matmul_pallas_pipelined(x, p, s, interpret=INTERPRET)
     assert out is not None
-    ref = x @ Q.unpack_int4_tpu(p, s)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    xo = x.astype(jnp.bfloat16).astype(jnp.float32) if scheme == "bt_grouped" else x
+    ref = xo @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
