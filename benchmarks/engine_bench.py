@@ -31,20 +31,41 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--decode-chunk", type=int, default=16)
     ap.add_argument("--max-seq", type=int, default=512)
+    ap.add_argument("--engine", choices=["dense", "paged"], default="dense")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked admission (0 = whole-prompt)")
+    ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="tokens of identical prompt prefix across requests")
+    ap.add_argument("--pages", type=int, default=0,
+                    help="paged pool size (0 = auto)")
+    ap.add_argument("--page-size", type=int, default=256)
+    ap.add_argument("--flash", action="store_true")
     args = ap.parse_args()
 
     mc = ChatGLM2Config()
     cfg = GLMLoadConfig(model_config=mc, quant_type="int4g32", torch_dtype="bfloat16")
     params = make_params(mc, "int4g32")
-    rt = TpuRuntimeConfig(use_flash_attention=False)
+    rt = TpuRuntimeConfig(use_flash_attention=args.flash or False)
 
-    eng = ServingEngine(cfg, params, tokenizer=None, max_batch=args.max_batch,
-                        max_seq_len=args.max_seq, decode_chunk=args.decode_chunk,
-                        rt=rt)
+    kw = dict(max_batch=args.max_batch, max_seq_len=args.max_seq,
+              decode_chunk=args.decode_chunk, rt=rt,
+              prefill_chunk_size=args.prefill_chunk or None)
+    if args.engine == "paged":
+        from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+        pages = args.pages or (
+            args.max_batch * (-(-args.max_seq // args.page_size)) + 2)
+        eng = PagedServingEngine(cfg, params, tokenizer=None,
+                                 num_pages=pages, page_size=args.page_size,
+                                 prefix_cache=args.prefix_cache, **kw)
+    else:
+        eng = ServingEngine(cfg, params, tokenizer=None, **kw)
     rng = np.random.default_rng(0)
+    shared = rng.integers(0, 60000, args.shared_prefix).tolist()
     for i in range(args.requests):
-        ids = rng.integers(0, 60000, args.prompt_len).tolist()
-        eng.submit(ids, max_new_tokens=args.new_tokens, temperature=0.0)
+        tail = rng.integers(0, 60000, max(args.prompt_len - args.shared_prefix, 1)).tolist()
+        eng.submit(shared + tail, max_new_tokens=args.new_tokens, temperature=0.0)
 
     # warmup: one step compiles prefill bucket + decode chunk
     t0 = time.perf_counter()
@@ -57,12 +78,17 @@ def main():
     wall = time.perf_counter() - t0
     gen = sum(len(r.generated) for r in eng.finished)
     print(json.dumps({
-        "bench": "engine", "quant": "int4g32",
+        "bench": "engine", "quant": "int4g32", "engine": args.engine,
         "requests": args.requests, "max_batch": args.max_batch,
         "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
+        "prefill_chunk": args.prefill_chunk or None,
+        "prefix_cache": args.prefix_cache,
+        "shared_prefix": args.shared_prefix,
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),
+        **({"prefix_hits": eng.stats.get("prefix_hits", 0)}
+           if args.engine == "paged" else {}),
     }))
 
 

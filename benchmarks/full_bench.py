@@ -31,9 +31,9 @@ from chatglm_q_tpu.models import chatglm2 as M
 from chatglm_q_tpu.utils.timing import force, slope_time
 
 
-def bench_decode(config, params, quant_type, batch, cache_len, rt):
+def bench_decode(config, params, quant_type, batch, cache_len, rt, start_len=64):
     cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)
-    cache = cache.replace(lengths=jnp.full((batch,), 64, jnp.int32))
+    cache = cache.replace(lengths=jnp.full((batch,), start_len, jnp.int32))
     first = jnp.zeros((batch,), jnp.int32)
 
     @partial(jax.jit, static_argnames="n")
@@ -48,6 +48,40 @@ def bench_decode(config, params, quant_type, batch, cache_len, rt):
 
     per_step = slope_time(run_n, 8, 40)
     return batch / per_step  # aggregate tokens/s
+
+
+def bench_decode_paged(config, params, quant_type, batch, cache_len, rt,
+                       start_len=64, page_size=256):
+    """Paged-pool decode: same shapes as bench_decode but KV behind a
+    shuffled page table (worst-case page scatter)."""
+    import numpy as np
+    from chatglm_q_tpu.models import paged_kv as PK
+    from chatglm_q_tpu.ops.sampling import greedy_sampling
+
+    mp = cache_len // page_size
+    num_pages = batch * mp + 2
+    cache = PK.init_paged_kv_cache(config, batch, num_pages, cache_len,
+                                   page_size, jnp.bfloat16)
+    perm = np.random.RandomState(0).permutation(num_pages - 1)[: batch * mp]
+    cache = cache.replace(
+        page_table=jnp.asarray(perm.reshape(batch, mp) + 1, jnp.int32),
+        lengths=jnp.full((batch,), start_len, jnp.int32),
+    )
+    first = jnp.zeros((batch,), jnp.int32)
+
+    @partial(jax.jit, static_argnames="n")
+    def decode_n(p, first, cache, n):
+        def step(carry, _):
+            tok, cache = carry
+            logits, cache = PK.decode_step_paged(
+                p, config, tok, cache, quant_type, jnp.bfloat16, rt)
+            return (greedy_sampling(logits).astype(jnp.int32), cache), None
+
+        (tok, _), _ = jax.lax.scan(step, (first, cache), None, length=n)
+        return tok.sum()
+
+    per_step = slope_time(lambda n: force(decode_n(params, first, cache, n)), 8, 40)
+    return batch / per_step
 
 
 def bench_prefill(config, params, quant_type, batch, seq, rt):
@@ -80,11 +114,18 @@ def main():
     ap.add_argument("--flash", action="store_true", help="enable flash-attention kernels")
     ap.add_argument("--dyn-int8", action="store_true",
                     help="dynamic activation quantization for int8 layers")
+    ap.add_argument("--attn-v2", action="store_true",
+                    help="O(length) manual-DMA decode attention kernel")
+    ap.add_argument("--paged", action="store_true",
+                    help="decode over a paged pool (shuffled page table)")
+    ap.add_argument("--start-len", type=int, default=64,
+                    help="valid cache length during decode (attention cost)")
     args = ap.parse_args()
 
     config = ChatGLM2Config()
     rt = TpuRuntimeConfig(use_flash_attention=args.flash or None,
-                          dynamic_int8=args.dyn_int8)
+                          dynamic_int8=args.dyn_int8,
+                          decode_attn_v2=args.attn_v2)
 
     for quant in args.quants.split(","):
         params = make_params(config, quant)
@@ -92,10 +133,16 @@ def main():
         sol = HBM_GBPS * 1e9 / wbytes
         for b in map(int, args.batches.split(",")):
             t0 = time.perf_counter()
-            tps = bench_decode(config, params, quant, b, args.cache_len, rt)
+            if args.paged:
+                tps = bench_decode_paged(config, params, quant, b,
+                                         args.cache_len, rt, args.start_len)
+            else:
+                tps = bench_decode(config, params, quant, b, args.cache_len,
+                                   rt, args.start_len)
             print(json.dumps({
                 "bench": "decode", "quant": quant, "batch": b,
-                "cache_len": args.cache_len,
+                "cache_len": args.cache_len, "start_len": args.start_len,
+                "paged": args.paged, "attn_v2": args.attn_v2,
                 "tokens_per_sec": round(tps, 2),
                 "per_seq_tok_s": round(tps / b, 2),
                 "sol_frac_batch1_equiv": round(tps / b / sol, 4),
