@@ -163,6 +163,30 @@ def test_paged_engine_matches_dense_engine(params):
     assert got == want, (got, want)
 
 
+def test_paged_pool_fp8_kv(params):
+    """The reduced-precision KV option must work behind the page table
+    (pool stores f8, kernels upcast): greedy ids stay close to f32 —
+    identical on this tiny model."""
+    prompt = list(range(3, 20))
+    outs = {}
+    for dt in (jnp.float32, jnp.float8_e4m3fn):
+        cache = PK.init_paged_kv_cache(CFG, 1, 10, 64, PAGE, dt)
+        cache = cache.replace(page_table=jnp.asarray([[4, 7, 2, 9]], jnp.int32))
+        logits, cache = PK.prefill_paged(
+            params, CFG, jnp.asarray([prompt]),
+            jnp.asarray([len(prompt)], jnp.int32), cache, "none",
+            jnp.float32, FLASH_RT)
+        out = []
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(8):
+            out.append(int(tok[0]))
+            logits, cache = PK.decode_step_paged(
+                params, CFG, tok, cache, "none", jnp.float32, FLASH_RT)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        outs[dt.__name__] = out
+    assert outs["float32"] == outs["float8_e4m3fn"], outs
+
+
 def test_prefix_cache_reuse_token_exact(params):
     """Requests sharing a page-aligned prompt prefix must reuse its KV pages
     (no recompute) and still emit exactly the dense engine's tokens."""
