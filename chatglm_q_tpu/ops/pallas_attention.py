@@ -492,7 +492,10 @@ def flash_attention_decode_v2(
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # (B, G) programs are fully independent (per-row, per-group
+            # online softmax over disjoint cache slices) — both parallel, so
+            # Mosaic's megacore split stays free to divide them over cores
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), qs, kf, vf)
@@ -613,7 +616,10 @@ def flash_attention_decode_paged(
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # (B, G) programs are fully independent (per-row, per-group
+            # online softmax over disjoint cache slices) — both parallel, so
+            # Mosaic's megacore split stays free to divide them over cores
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), lyr, page_table.astype(jnp.int32),
