@@ -119,15 +119,20 @@ class PagedServingEngine(ServingEngine):
 
     def _start_decoding(self, slot_idx, req, logits, n_ids):
         if self.prefix_cache:
-            # the prompt's KV is fully written: publish its page-aligned
-            # prefix for reuse (registry holds its own page references)
+            # the prompt's KV is fully written: publish EVERY page-aligned
+            # prefix length for reuse — a later prompt sharing only the
+            # head (system prompt, few-shot header) must match the shared
+            # pages, not this prompt's full span.  Entries share page
+            # objects via refcounts; the registry holds one reference per
+            # entry per page.
             ids = self._sliced_prompt(req)
-            k = (len(ids) - 1) // self.page_size
-            key = tuple(ids[: k * self.page_size])
-            if k >= 1 and key not in self._prefix_lru:
-                pages = self._slot_pages[slot_idx][:k]
-                self._retain(pages)
-                self._prefix_lru[key] = pages
+            kmax = (len(ids) - 1) // self.page_size
+            for k in range(1, kmax + 1):
+                key = tuple(ids[: k * self.page_size])
+                if key not in self._prefix_lru:
+                    pages = self._slot_pages[slot_idx][:k]
+                    self._retain(pages)
+                    self._prefix_lru[key] = pages
         super()._start_decoding(slot_idx, req, logits, n_ids)
 
     def clear_prefix_cache(self):

@@ -219,6 +219,32 @@ def test_prefix_cache_reuse_token_exact(params):
     assert sorted(paged._free_pages) == list(range(1, 40))
 
 
+def test_prefix_cache_partial_share(params):
+    """The system-prompt case: two prompts share only their HEAD pages.
+    The registry must match the shared pages (every page-prefix length is
+    published), not just a prompt's full span."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    rng = np.random.RandomState(13)
+    sys_prompt = rng.randint(3, 120, size=16).tolist()  # 2 pages of 8
+    a = sys_prompt + rng.randint(3, 120, size=12).tolist()
+    b = sys_prompt + rng.randint(3, 120, size=12).tolist()
+
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    kw = dict(max_batch=2, max_seq_len=64, decode_chunk=4)
+    dense = ServingEngine(load_cfg, params, None, rt=XLA_RT, **kw)
+    paged = PagedServingEngine(load_cfg, params, None, rt=XLA_RT,
+                               num_pages=40, page_size=8,
+                               prefill_chunk_size=8, prefix_cache=True, **kw)
+    want = _run(dense, [a], max_new_tokens=6) + _run(dense, [b], max_new_tokens=6)
+    got = _run(paged, [a], max_new_tokens=6) + _run(paged, [b], max_new_tokens=6)
+    assert got == want, (got, want)
+    # b shares exactly the 2 system-prompt pages (16 tokens), nothing more
+    assert paged.stats["prefix_hits"] == 1, paged.stats
+    assert paged.stats["prefix_tokens_reused"] == 16, paged.stats
+
+
 def test_prefix_cache_eviction_under_pressure(params):
     """A pool too small to keep cached prefixes must evict them (LRU) to
     admit new work — never deadlock, outputs stay exact."""
