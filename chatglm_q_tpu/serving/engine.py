@@ -105,6 +105,9 @@ class ServingEngine:
         self.slots = [_Slot() for _ in range(max_batch)]
         self.queue: list[Request] = []
         self.finished: list[Request] = []
+        # (req_id, [first_token]) events since the last step() return —
+        # the admission-time sample must reach run_stream consumers too
+        self._started_events: list[tuple[int, list]] = []
         self._req_counter = itertools.count()
         self._rng = jax.random.PRNGKey(seed)
         # last sampled token per slot (feeds the next decode step)
@@ -296,6 +299,7 @@ class ServingEngine:
         else:
             tok = int(greedy_sampling(logits))
         req.generated.append(tok)
+        self._started_events.append((req.req_id, [tok]))
         slot.budget = req.max_new_tokens - 1
         self._last_tok[slot_idx] = tok
         self._host_lengths[slot_idx] = n_ids
@@ -331,10 +335,11 @@ class ServingEngine:
         Returns [(req_id, new_tokens)] for sequences that advanced."""
         self._admit()
         self._advance_prefills()
+        started, self._started_events = self._started_events, []
         active_mask = np.array([s.decoding for s in self.slots], bool)
         free_mask = np.array([s.request is None for s in self.slots], bool)
         if not active_mask.any():
-            return []
+            return started
         # fixed chunk length: over-generation past a slot's budget/eos is
         # rolled back below.  A budget-dependent n would both stall the whole
         # batch on one nearly-done slot and compile a fresh chunk program for
@@ -368,7 +373,7 @@ class ServingEngine:
             sort_k,
         )
         toks = np.asarray(toks)  # (B, n)
-        out = []
+        out = started
         for b, slot in enumerate(self.slots):
             req = slot.request
             if req is None or not slot.decoding:
@@ -398,6 +403,20 @@ class ServingEngine:
         self.stats["steps"] += 1
         self.stats["decode_chunks"] += 1
         return out
+
+    def run_stream(self, prompts: list, **kwargs):
+        """Submit all prompts and yield ``(req_id, new_token_ids)`` as each
+        chunk lands — the engine counterpart of the decoder's streaming
+        generate (decoder.py:93-95).  Returns submission-order req_ids via
+        the generator's ``.send``-free protocol: consume pairs until
+        exhaustion; ``self.finished`` holds the completed requests."""
+        for p in prompts:
+            if isinstance(p, str):
+                self.submit_text(p, **kwargs)
+            else:
+                self.submit(p, **kwargs)
+        while self.has_work:
+            yield from self.step()
 
     def run(self, prompts: list, **kwargs) -> list[str]:
         """Submit all prompts, run to completion, return decoded texts in

@@ -62,6 +62,20 @@ def test_single_request_matches_reference(engine_parts):
     assert got == ref, (got, ref)
 
 
+def test_run_stream_yields_all_tokens(engine_parts):
+    """Streaming run must surface exactly the tokens the batch run
+    produces, incrementally, keyed by request id."""
+    eng = make_engine(engine_parts)
+    prompts = [[3, 17, 42], [7, 9, 11, 13, 15]]
+    acc = {}
+    for rid, toks in eng.run_stream(prompts, max_new_tokens=6, temperature=0.0):
+        acc.setdefault(rid, []).extend(toks)
+    for req in eng.finished:
+        # over-generated tokens past eos/budget are rolled back in
+        # req.generated; the stream yields them too, so compare prefixes
+        assert acc[req.req_id][: len(req.generated)] == req.generated
+
+
 def test_batched_requests_match_individual(engine_parts):
     """Four concurrent requests must each produce the same greedy tokens as
     a batch-1 run — the ragged batching must not leak across slots."""
