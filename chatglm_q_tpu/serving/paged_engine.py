@@ -163,18 +163,27 @@ class PagedServingEngine(ServingEngine):
             )
 
         @partial(jax.jit, donate_argnums=(1,))
-        def _prefill_chunk_batch(params, cache, ids_BxSc, starts, valids):
-            # rows not mid-prefill (valids == 0) must write NOTHING through
-            # their table: free slots' rows are already zeroed (garbage
-            # page 0), but decoding rows' real tables would let non-page-
-            # aligned starts corrupt their own pages — mask them to page 0
-            pt_eff = jnp.where((valids > 0)[:, None], cache.page_table, 0)
-            sub = cache.replace(page_table=pt_eff)
+        def _prefill_chunk_compact(params, cache, ids_PBxSc, starts, valids, slots):
+            # COMPACT chunk batch: only the mid-prefill slots' rows are
+            # computed (the dense engine's batched chunk runs all max_batch
+            # rows — B× wasted MXU flops when one prompt is admitting).
+            # The page table provides the row indirection for free: the
+            # compact rows' writes and gathers go through their own table
+            # rows; no cache-row copies.
+            pt_rows = jnp.take(cache.page_table, slots, axis=0)
+            sub = PK.PagedKVCache(
+                k_pool=cache.k_pool, v_pool=cache.v_pool,
+                page_table=pt_rows, lengths=starts.astype(jnp.int32),
+            )
             logits, sub = PK.prefill_chunk_paged(
-                params, self.mc, ids_BxSc, starts, valids, sub, qt,
+                params, self.mc, ids_PBxSc, starts, valids, sub, qt,
                 self.dtype, self.rt,
             )
-            return logits, sub.replace(page_table=cache.page_table)
+            new_lengths = cache.lengths
+            for i in range(slots.shape[0]):
+                new_lengths = new_lengths.at[slots[i]].set(sub.lengths[i])
+            return logits, cache.replace(
+                k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
         @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
         def _decode_chunk(params, cache, first_tok, rng, active, free, sampling, n, top_k):
@@ -208,7 +217,38 @@ class PagedServingEngine(ServingEngine):
 
         self._prefill_into_slot = _prefill_into_slot
         self._decode_chunk = _decode_chunk
-        self._prefill_chunk_batch = _prefill_chunk_batch
+        self._prefill_chunk_compact = _prefill_chunk_compact
+
+    def _advance_prefills(self):
+        """Compact-batch chunk step: only mid-prefill slots are computed
+        (power-of-two bucket ≤ 4 bounds the compile set)."""
+        pending = [i for i, s in enumerate(self.slots)
+                   if s.pending_ids is not None]
+        if not pending:
+            return
+        PB = min(1 << (len(pending).bit_length() - 1), 4)
+        take = pending[:PB]
+        Sc = self.prefill_chunk_size
+        ids = np.zeros((PB, Sc), np.int32)
+        starts = np.zeros((PB,), np.int32)
+        valids = np.zeros((PB,), np.int32)
+        for i, b in enumerate(take):
+            s = self.slots[b]
+            chunk = s.pending_ids[s.pending_pos : s.pending_pos + Sc]
+            ids[i, : len(chunk)] = chunk
+            starts[i] = s.pending_pos
+            valids[i] = len(chunk)
+        logits, self.cache = self._prefill_chunk_compact(
+            self.params, self.cache, jnp.asarray(ids), jnp.asarray(starts),
+            jnp.asarray(valids), jnp.asarray(take, dtype=jnp.int32),
+        )
+        for i, b in enumerate(take):
+            s = self.slots[b]
+            s.pending_pos += int(valids[i])
+            if s.pending_pos >= len(s.pending_ids):
+                n_ids = len(s.pending_ids)
+                s.pending_ids = None
+                self._start_decoding(b, s.request, logits[i], n_ids)
 
     # -- page allocation -------------------------------------------------
 
