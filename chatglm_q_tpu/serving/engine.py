@@ -375,34 +375,40 @@ class ServingEngine:
         toks = np.asarray(toks)  # (B, n)
         out = started
         for b, slot in enumerate(self.slots):
-            req = slot.request
-            if req is None or not slot.decoding:
+            if slot.request is None or not slot.decoding:
                 continue
-            new = []
-            # cache positions past max_seq_len - 1 are clamped writes:
-            # tokens decoded there are invalid, stop appending at the wall
-            remaining = self.max_seq_len - 1 - int(self._host_lengths[b])
-            for t in toks[b][:max(1, remaining)]:
-                t = int(t)
-                new.append(t)
-                req.generated.append(t)
-                slot.budget -= 1
-                if t == self.eos_token_id or slot.budget <= 0:
-                    break
-            # roll back cache length past eos/budget over-generation
-            extra = n - len(new)
-            if extra > 0:
-                self.cache = self.cache.replace(
-                    lengths=self.cache.lengths.at[b].add(-extra)
-                )
-            self._last_tok[b] = new[-1]
-            self._host_lengths[b] += len(new)
-            out.append((req.req_id, new))
-            self.stats["generated_tokens"] += len(new)
-            self._maybe_finish(b)
+            out.append(self._consume_slot_tokens(b, toks[b], n))
         self.stats["steps"] += 1
         self.stats["decode_chunks"] += 1
         return out
+
+    def _consume_slot_tokens(self, b: int, row, n: int):
+        """Apply one slot's decoded chunk row: append until eos/budget,
+        roll back over-generation, retire if finished."""
+        slot = self.slots[b]
+        req = slot.request
+        new = []
+        # cache positions past max_seq_len - 1 are clamped writes:
+        # tokens decoded there are invalid, stop appending at the wall
+        remaining = self.max_seq_len - 1 - int(self._host_lengths[b])
+        for t in row[:max(1, remaining)]:
+            t = int(t)
+            new.append(t)
+            req.generated.append(t)
+            slot.budget -= 1
+            if t == self.eos_token_id or slot.budget <= 0:
+                break
+        # roll back cache length past eos/budget over-generation
+        extra = n - len(new)
+        if extra > 0:
+            self.cache = self.cache.replace(
+                lengths=self.cache.lengths.at[b].add(-extra)
+            )
+        self._last_tok[b] = new[-1]
+        self._host_lengths[b] += len(new)
+        self.stats["generated_tokens"] += len(new)
+        self._maybe_finish(b)
+        return (req.req_id, new)
 
     def run_stream(self, prompts: list, **kwargs):
         """Submit all prompts and yield ``(req_id, new_token_ids)`` as each

@@ -186,13 +186,27 @@ class PagedServingEngine(ServingEngine):
                 k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
         @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
-        def _decode_chunk(params, cache, first_tok, rng, active, free, sampling, n, top_k):
+        def _decode_chunk_compact(params, cache, first_tok, rng, real,
+                                  sampling, slots, n, top_k):
+            # COMPACT decode: only the active slots' rows are computed
+            # (bucketed to a power of two).  Padding rows (real == False)
+            # get a zeroed page-table row and length 0, so their writes
+            # land on garbage page 0 and their outputs are discarded —
+            # free and mid-prefill slots simply aren't in the batch, which
+            # removes the dense path's whole garbage-write analysis.
             temperature, top_p, top_k_limit = sampling
+            pt_rows = jnp.take(cache.page_table, slots, axis=0)
+            pt_rows = jnp.where(real[:, None], pt_rows, 0)
+            lens = jnp.where(real, jnp.take(cache.lengths, slots), 0)
+            sub = PK.PagedKVCache(
+                k_pool=cache.k_pool, v_pool=cache.v_pool,
+                page_table=pt_rows, lengths=lens.astype(jnp.int32),
+            )
 
             def step(carry, rng_step):
-                tok, cache = carry
-                logits, cache = PK.decode_step_paged(
-                    params, self.mc, tok, cache, qt, self.dtype, self.rt
+                tok, sub = carry
+                logits, sub = PK.decode_step_paged(
+                    params, self.mc, tok, sub, qt, self.dtype, self.rt
                 )
                 safe_t = jnp.where(temperature > 0, temperature, 1.0)
                 sampled = top_p_sampling(
@@ -201,23 +215,59 @@ class PagedServingEngine(ServingEngine):
                 )
                 greedy = greedy_sampling(logits)
                 nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
-                return (nxt, cache), nxt
+                return (nxt, sub), nxt
 
-            # free slots: zero lengths (ragged kernel skips their pages);
-            # their in-chunk writes land on garbage page 0 via their zeroed
-            # table rows.  Mid-prefill slots keep their lengths (see
-            # engine.py _decode_chunk) — their writes land above the prefix
-            # inside their own allocated pages.
-            orig_lengths = cache.lengths
-            cache = cache.replace(lengths=jnp.where(free, 0, orig_lengths))
             rngs = jax.random.split(rng, n)
-            (last, cache), toks = jax.lax.scan(step, (first_tok, cache), rngs)
-            fixed_lengths = jnp.where(active, cache.lengths, orig_lengths)
-            return toks.T, cache.replace(lengths=fixed_lengths)
+            (last, sub), toks = jax.lax.scan(step, (first_tok, sub), rngs)
+            new_lengths = cache.lengths
+            for i in range(slots.shape[0]):
+                new_lengths = new_lengths.at[slots[i]].set(
+                    jnp.where(real[i], sub.lengths[i], new_lengths[slots[i]]))
+            return toks.T, cache.replace(
+                k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
         self._prefill_into_slot = _prefill_into_slot
-        self._decode_chunk = _decode_chunk
+        self._decode_chunk_compact = _decode_chunk_compact
         self._prefill_chunk_compact = _prefill_chunk_compact
+
+    def step(self) -> list:
+        """Admit, advance prefill chunks, one COMPACT decode chunk over the
+        active slots only."""
+        self._admit()
+        self._advance_prefills()
+        started, self._started_events = self._started_events, []
+        active = [b for b, s in enumerate(self.slots) if s.decoding]
+        if not active:
+            self.stats["steps"] += 1
+            return started
+        n = self.chunk
+        PB = min(1 << (len(active) - 1).bit_length(), self.max_batch)
+        slots = active + [0] * (PB - len(active))
+        real = np.zeros((PB,), bool)
+        real[: len(active)] = True
+        reqs = [self.slots[b].request for b in active]
+        temps = np.array([r.temperature for r in reqs] + [0.0] * (PB - len(active)),
+                         np.float32)
+        tops = np.array([r.top_p for r in reqs] + [1.0] * (PB - len(active)),
+                        np.float32)
+        top_ks = np.array([r.top_k for r in reqs] + [1] * (PB - len(active)),
+                          np.int32)
+        first = np.array([self._last_tok[b] for b in slots], np.int32)
+        sort_k = 100 if top_ks.max() <= 100 else 1 << int(top_ks.max() - 1).bit_length()
+        self._rng, sub = jax.random.split(self._rng)
+        toks, self.cache = self._decode_chunk_compact(
+            self.params, self.cache, jnp.asarray(first), sub,
+            jnp.asarray(real),
+            (jnp.asarray(temps), jnp.asarray(tops), jnp.asarray(top_ks)),
+            jnp.asarray(slots, dtype=jnp.int32), n, sort_k,
+        )
+        toks = np.asarray(toks)  # (PB, n)
+        out = started
+        for i, b in enumerate(active):
+            out.append(self._consume_slot_tokens(b, toks[i], n))
+        self.stats["steps"] += 1
+        self.stats["decode_chunks"] += 1
+        return out
 
     def _advance_prefills(self):
         """Compact-batch chunk step: only mid-prefill slots are computed
