@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-2 TPU measurement sequence (docs/STATUS.md runbook).
+# ONE TPU process at a time; every step logs to benchmarks/logs/.
+# Steps are ordered by value-per-minute so a re-wedge loses the least.
+# Resume: already-completed steps are skipped via their .done markers.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p benchmarks/logs
+L=benchmarks/logs
+
+step() {  # step <name> <timeout-s> <cmd...>
+  local name=$1 to=$2; shift 2
+  if [ -f "$L/$name.done" ]; then echo "== $name: done (skip)"; return 0; fi
+  echo "== $name: $* (timeout ${to}s)"
+  timeout "$to" "$@" >"$L/$name.out" 2>"$L/$name.err"
+  local rc=$?
+  if [ $rc -eq 0 ]; then touch "$L/$name.done"; echo "== $name OK"; tail -5 "$L/$name.out"
+  else echo "== $name FAILED rc=$rc"; tail -5 "$L/$name.err"; fi
+  return $rc
+}
+
+# 0. health probe (fast fail if the device is still wedged)
+timeout 110 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
+  || { echo "TPU not responding — aborting"; exit 1; }
+
+# 1. scheme shootout (small kernels, highest information first)
+step microbench 2400 python benchmarks/kernel_microbench.py \
+  int4 int4_grouped int4_bt_grouped int4_noscale
+
+# 2. per-shape autotune of the production kernels (resumable internally)
+step sweep_m8 5400 python benchmarks/autotune_sweep.py --m 8 --budget 12
+
+# 3. headline (reads the autotune table via int4_matmul_auto)
+step bench 1800 python bench.py
+
+# 4. batch sweep + decode-v2 + paged decode comparisons
+step fb_batches 3600 python benchmarks/full_bench.py --quants int4g32 --batches 1,8,16,32
+step fb_v2_1k  2400 python benchmarks/full_bench.py --quants int4g32 --batches 1,8 \
+  --flash --attn-v2 --start-len 960
+step fb_grid_1k 2400 python benchmarks/full_bench.py --quants int4g32 --batches 1,8 \
+  --flash --start-len 960
+step fb_paged  2400 python benchmarks/full_bench.py --quants int4g32 --batches 1,8 \
+  --flash --paged --start-len 960
+
+# 5. engine end-to-end (dense, chunked admission, paged+prefix)
+step eng_dense 2400 python benchmarks/engine_bench.py
+step eng_chunk 2400 python benchmarks/engine_bench.py --prefill-chunk 128
+step eng_paged 2400 python benchmarks/engine_bench.py --engine paged --flash \
+  --prefill-chunk 256 --prefix-cache --shared-prefix 48
+step eng_flash 2400 python benchmarks/engine_bench.py --flash
+
+# 6. GPTQ at 6B shapes
+step gptq6b 3600 python benchmarks/gptq_6b.py --pipeline --layers 2
+
+# 7. all kernels vs oracles on hardware (incl. new decode-v2/paged rows)
+step smoke 3600 python benchmarks/tpu_smoke.py
+
+echo "== sequence complete; see $L/*.out"
