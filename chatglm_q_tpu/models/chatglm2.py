@@ -252,21 +252,28 @@ def block_forward(
         # in-place index updates, never a whole-cache rewrite (stacking the
         # cache through scan ys copies all L×B×Smax slots every step: at
         # batch 8 × 8K context that is ~3.8 GB per token, measured).
-        ck, cv, layer_idx, start = kv_write
+        if len(kv_write) == 5:
+            # compact chunk batch: q/kv-proj row b targets cache row
+            # slot_map[b] (serving/engine chunked admission)
+            ck, cv, layer_idx, start, slot_map = kv_write
+        else:
+            ck, cv, layer_idx, start = kv_write
+            slot_map = None
         kw = k.transpose(0, 2, 1, 3)  # (B, G, S, D) — matches cache layout
         vw = v.transpose(0, 2, 1, 3)
 
         def upd_all(cache, new):
             if new.dtype != cache.dtype:  # trace-time: avoid no-op casts
                 new = new.astype(cache.dtype)
-            Bc = cache.shape[1]
-            if Bc <= 8:
+            Bc = new.shape[0]
+            if Bc <= 8 or slot_map is not None:
                 # unrolled per-row dynamic-update-slice (vmap would lower
                 # to a scatter)
                 for b in range(Bc):
+                    row = b if slot_map is None else slot_map[b]
                     cache = jax.lax.dynamic_update_slice(
                         cache, new[None, b : b + 1],
-                        (layer_idx, b, 0, start[b], 0),
+                        (layer_idx, row, 0, start[b], 0),
                     )
                 return cache
             return _scatter_large(cache, new, layer_idx, start)
@@ -275,6 +282,10 @@ def block_forward(
         cv = upd_all(cv, vw)
         k_full = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+        if slot_map is not None and not isinstance(mask_bias, tuple):
+            # compact-chunk XLA fallback: gather the mapped cache rows
+            k_full = jnp.take(k_full, slot_map, axis=0)
+            v_full = jnp.take(v_full, slot_map, axis=0)
         kv_out = (ck, cv)  # k_full/v_full are (B, G, T, D)
 
     if isinstance(mask_bias, tuple):
@@ -289,7 +300,11 @@ def block_forward(
             # chunked prefill: queries at absolute offsets attend the whole
             # cache below them (paged: over a gathered dense view — the
             # decode hot path never gathers, models/paged_kv.py)
-            chunk_lengths, chunk_starts = lengths
+            if len(lengths) == 3:
+                chunk_lengths, chunk_starts, chunk_rmap = lengths
+            else:
+                chunk_lengths, chunk_starts = lengths
+                chunk_rmap = None
             if paged:
                 from . import paged_kv as PK
 
@@ -300,6 +315,7 @@ def block_forward(
             ctx = PA.flash_attention_prefill(
                 q, kc, vc, chunk_lengths, sm_scale,
                 rt.attn_block_q, rt.attn_block_k, q_starts=chunk_starts,
+                kv_row_map=chunk_rmap,
             )
             attn_in_tap = ctx.reshape(B, S, G * Hg * D)
         elif kind == "flash_prefill":
@@ -522,7 +538,8 @@ def _serving_freqs(config, positions, dtype):
     return table[positions]
 
 
-def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5, cache, start):
+def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5,
+                         cache, start, slot_map=None):
     """Scan blocks over stacked layer params; the full KV cache rides the
     scan CARRY and each layer performs tiny in-place index writes (stacking
     per-layer cache outputs through scan ys would rewrite the entire cache
@@ -532,9 +549,11 @@ def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5, ca
     def scan_body(carry, inp):
         h, ck, cv = carry
         layer_idx, layer_params = inp
+        kvw = ((ck, cv, layer_idx, start) if slot_map is None
+               else (ck, cv, layer_idx, start, slot_map))
         h, (ck, cv) = block_forward(
             layer_params, h, freqs_cis, mask5, config, quant_type, rt,
-            kv_write=(ck, cv, layer_idx, start),
+            kv_write=kvw,
         )
         return (h, ck, cv), None
 
@@ -614,6 +633,7 @@ def prefill_chunk(
     quant_type: str = "none",
     dtype=jnp.bfloat16,
     rt: TpuRuntimeConfig = _DEFAULT_RT,
+    slot_map: Optional[jax.Array] = None,  # (B,) chunk row → cache row
 ):
     """Process one chunk of a long prompt: write KV at ``starts`` and attend
     causally over the WHOLE cache below each query's absolute position.
@@ -624,6 +644,12 @@ def prefill_chunk(
     ``starts + chunk_valid``; returns logits at each row's last valid chunk
     position (meaningful on the final chunk) and the updated cache.
     ``prefill`` ≡ a single chunk at starts = 0.
+
+    With ``slot_map``, the chunk batch is COMPACT: row i of ``input_ids``
+    belongs to cache row ``slot_map[i]`` — writes and attention resolve the
+    indirection (flash kernel row maps; no cache-row copies), so the chunk
+    computes only the rows actually mid-prefill.  Other cache rows'
+    lengths are untouched.
     """
     B, Sc = input_ids.shape
     T = cache.max_length
@@ -631,9 +657,12 @@ def prefill_chunk(
     freqs_cis = _serving_freqs(config, positions, dtype)
     h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
 
-    new_lengths = (starts + chunk_valid).astype(jnp.int32)
+    row_lengths = (starts + chunk_valid).astype(jnp.int32)
     if rt.flash_enabled() and not (rt.mesh is not None and rt.kv_shard_t):
-        mask5 = ("flash_prefill_chunk", (new_lengths, starts.astype(jnp.int32)))
+        payload = (row_lengths, starts.astype(jnp.int32))
+        if slot_map is not None:
+            payload = payload + (slot_map.astype(jnp.int32),)
+        mask5 = ("flash_prefill_chunk", payload)
     else:
         # query r of row b sits at absolute position starts[b] + r and
         # attends cache slots ≤ it (the whole earlier context included)
@@ -644,7 +673,8 @@ def prefill_chunk(
         mask5 = bias[:, None, None, :, :]
 
     h, new_k, new_v = _layers_scan_serving(
-        params, config, quant_type, rt, h, freqs_cis, mask5, cache, starts
+        params, config, quant_type, rt, h, freqs_cis, mask5, cache, starts,
+        slot_map=slot_map,
     )
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
@@ -652,6 +682,12 @@ def prefill_chunk(
     logits = quant_linear(last, params["lm_head"], quant_type, rt)
     logits = logits[..., : config.vocab_size]
 
+    if slot_map is None:
+        new_lengths = row_lengths
+    else:
+        new_lengths = cache.lengths
+        for i in range(B):
+            new_lengths = new_lengths.at[slot_map[i]].set(row_lengths[i])
     new_cache = KVCache(k=new_k, v=new_v, lengths=new_lengths)
     return logits, new_cache
 

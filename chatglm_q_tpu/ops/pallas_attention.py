@@ -43,6 +43,7 @@ def _is_tpu() -> bool:
 def _prefill_kernel(
     lengths_ref,  # SMEM (B,)
     starts_ref,   # SMEM (B,) — query-position offset (chunked prefill)
+    rmap_ref,     # SMEM (B,) — q row → kv row (compact chunk batches)
     q_ref,        # (1, 1, bq*Hg, D)
     k_ref,        # (1, 1, bk, D)
     v_ref,        # (1, 1, bk, D)
@@ -117,6 +118,7 @@ def flash_attention_prefill(
     block_k: int = 512,
     interpret: bool | None = None,
     q_starts: jax.Array | None = None,  # (B,) — chunked prefill offsets
+    kv_row_map: jax.Array | None = None,  # (B,) — q row b reads KV row map[b]
 ) -> jax.Array:
     """Causal masked softmax(q·kᵀ·scale)·v with per-row valid lengths.
 
@@ -130,6 +132,11 @@ def flash_attention_prefill(
     the whole cache below them); ``lengths`` is then the total valid cache
     length including this chunk, and KV blocks span the cache up to the
     highest causal position (skipped raggedly per row).
+
+    With ``kv_row_map``, q batch row b attends KV batch row
+    ``kv_row_map[b]`` — the block index maps resolve the indirection, so a
+    COMPACT chunk batch (only the slots mid-prefill) runs against the full
+    engine cache with zero row copies.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -147,6 +154,10 @@ def flash_attention_prefill(
         starts = jnp.zeros((B,), jnp.int32)
     else:
         starts = q_starts.astype(jnp.int32)
+    if kv_row_map is None:
+        rmap = jnp.arange(B, dtype=jnp.int32)
+    else:
+        rmap = kv_row_map.astype(jnp.int32)
 
     # fold heads into q rows: (B, G, S, Hg, D) → (B, G, S*Hg, D)
     qf = q.transpose(0, 2, 1, 3, 4).reshape(B, G, S * Hg, D)
@@ -159,14 +170,16 @@ def flash_attention_prefill(
             _prefill_kernel, hg=Hg, bq=bq, bk=bk, sm_scale=sm_scale
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
                     (1, 1, bq * Hg, D), lambda b, g, qi, ki, *_: (b, g, qi, 0)
                 ),
-                pl.BlockSpec((1, 1, bk, D), lambda b, g, qi, ki, *_: (b, g, ki, 0)),
-                pl.BlockSpec((1, 1, bk, D), lambda b, g, qi, ki, *_: (b, g, ki, 0)),
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, g, qi, ki, lens, sts, rm: (rm[b], g, ki, 0)),
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, g, qi, ki, lens, sts, rm: (rm[b], g, ki, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, bq * Hg, D), lambda b, g, qi, ki, *_: (b, g, qi, 0)
@@ -182,7 +195,7 @@ def flash_attention_prefill(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), starts, qf, kf, vf)
+    )(lengths.astype(jnp.int32), starts, rmap, qf, kf, vf)
 
     return out.reshape(B, G, S, Hg, D).transpose(0, 2, 1, 3, 4)
 

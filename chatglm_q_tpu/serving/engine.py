@@ -181,19 +181,19 @@ class ServingEngine:
             return toks.T, cache.replace(lengths=fixed_lengths)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def _prefill_chunk_batch(params, cache, ids_BxSc, starts, valids):
-            # rows with valids == 0 (free or decoding slots) are no-ops:
-            # their lengths are preserved (starts = current length) and the
-            # garbage KV they write above their length is overwritten by
-            # their own next decode steps before it can ever be attended
+        def _prefill_chunk_compact(params, cache, ids_PBxSc, starts, valids, slots):
+            # COMPACT chunk batch: only mid-prefill slots' rows are computed
+            # (a full-batch chunk wastes max_batch/pending × the MXU flops);
+            # writes and attention reach cache row slots[i] through the
+            # kernel row map — no cache-row copies
             return M.prefill_chunk(
-                params, self.mc, ids_BxSc, starts, valids, cache, qt,
-                self.dtype, self.rt,
+                params, self.mc, ids_PBxSc, starts, valids, cache, qt,
+                self.dtype, self.rt, slot_map=slots,
             )
 
         self._prefill_into_slot = _prefill_into_slot
         self._decode_chunk = _decode_chunk
-        self._prefill_chunk_batch = _prefill_chunk_batch
+        self._prefill_chunk_compact = _prefill_chunk_compact
 
     # ------------------------------------------------------------------
 
@@ -246,31 +246,35 @@ class ServingEngine:
                             chunk=self.prefill_chunk_size)
 
     def _advance_prefills(self):
-        """One batched prefill-chunk step for every slot mid-prompt."""
+        """One COMPACT batched prefill-chunk step for slots mid-prompt
+        (power-of-two bucket ≤ 4 bounds the compile set; the rest advance
+        on later steps, FIFO)."""
         pending = [i for i, s in enumerate(self.slots) if s.pending_ids is not None]
         if not pending:
             return
-        B, Sc = self.max_batch, self.prefill_chunk_size
-        ids = np.zeros((B, Sc), np.int32)
-        starts = np.asarray(self._host_lengths, np.int32).copy()
-        valids = np.zeros((B,), np.int32)
-        for b in pending:
+        PB = min(1 << (len(pending).bit_length() - 1), 4)
+        take = pending[:PB]
+        Sc = self.prefill_chunk_size
+        ids = np.zeros((PB, Sc), np.int32)
+        starts = np.zeros((PB,), np.int32)
+        valids = np.zeros((PB,), np.int32)
+        for i, b in enumerate(take):
             s = self.slots[b]
             chunk = s.pending_ids[s.pending_pos : s.pending_pos + Sc]
-            ids[b, : len(chunk)] = chunk
-            starts[b] = s.pending_pos
-            valids[b] = len(chunk)
-        logits, self.cache = self._prefill_chunk_batch(
-            self.params, self.cache, jnp.asarray(ids),
-            jnp.asarray(starts), jnp.asarray(valids),
+            ids[i, : len(chunk)] = chunk
+            starts[i] = s.pending_pos
+            valids[i] = len(chunk)
+        logits, self.cache = self._prefill_chunk_compact(
+            self.params, self.cache, jnp.asarray(ids), jnp.asarray(starts),
+            jnp.asarray(valids), jnp.asarray(take, dtype=jnp.int32),
         )
-        for b in pending:
+        for i, b in enumerate(take):
             s = self.slots[b]
-            s.pending_pos += int(valids[b])
+            s.pending_pos += int(valids[i])
             if s.pending_pos >= len(s.pending_ids):
                 n_ids = len(s.pending_ids)
                 s.pending_ids = None
-                self._start_decoding(b, s.request, logits[b], n_ids)
+                self._start_decoding(b, s.request, logits[i], n_ids)
 
     def _admit_into_slot(self, slot_idx: int, req: Request):
         slot = self.slots[slot_idx]

@@ -269,37 +269,6 @@ class PagedServingEngine(ServingEngine):
         self.stats["decode_chunks"] += 1
         return out
 
-    def _advance_prefills(self):
-        """Compact-batch chunk step: only mid-prefill slots are computed
-        (power-of-two bucket ≤ 4 bounds the compile set)."""
-        pending = [i for i, s in enumerate(self.slots)
-                   if s.pending_ids is not None]
-        if not pending:
-            return
-        PB = min(1 << (len(pending).bit_length() - 1), 4)
-        take = pending[:PB]
-        Sc = self.prefill_chunk_size
-        ids = np.zeros((PB, Sc), np.int32)
-        starts = np.zeros((PB,), np.int32)
-        valids = np.zeros((PB,), np.int32)
-        for i, b in enumerate(take):
-            s = self.slots[b]
-            chunk = s.pending_ids[s.pending_pos : s.pending_pos + Sc]
-            ids[i, : len(chunk)] = chunk
-            starts[i] = s.pending_pos
-            valids[i] = len(chunk)
-        logits, self.cache = self._prefill_chunk_compact(
-            self.params, self.cache, jnp.asarray(ids), jnp.asarray(starts),
-            jnp.asarray(valids), jnp.asarray(take, dtype=jnp.int32),
-        )
-        for i, b in enumerate(take):
-            s = self.slots[b]
-            s.pending_pos += int(valids[i])
-            if s.pending_pos >= len(s.pending_ids):
-                n_ids = len(s.pending_ids)
-                s.pending_ids = None
-                self._start_decoding(b, s.request, logits[i], n_ids)
-
     # -- page allocation -------------------------------------------------
 
     def _pages_needed(self, req) -> int:
