@@ -49,6 +49,10 @@ step eng_paged 2400 python benchmarks/engine_bench.py --engine paged --flash \
   --prefill-chunk 256 --prefix-cache --shared-prefix 48
 step eng_flash 2400 python benchmarks/engine_bench.py --flash
 
+# 5b. prefill/batch-shape autotune (dequant cost applies at all M;
+# dyn-int8's +44% prefill shows it)
+step sweep_m256 5400 python benchmarks/autotune_sweep.py --m 256 --budget 8
+
 # 6. GPTQ at 6B shapes
 step gptq6b 3600 python benchmarks/gptq_6b.py --pipeline --layers 2
 
