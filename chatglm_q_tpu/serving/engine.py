@@ -202,6 +202,27 @@ class ServingEngine:
         self.queue.append(req)
         return req.req_id
 
+    def cancel(self, req_id: int) -> bool:
+        """Cancel a request: drop it from the queue, abandon its prefill,
+        or stop its decode at the next chunk boundary.  Returns whether the
+        request was found still live.  A cancelled request lands in
+        ``finished`` with ``done=True`` and whatever it generated so far."""
+        for i, req in enumerate(self.queue):
+            if req.req_id == req_id:
+                req.done = True
+                self.finished.append(self.queue.pop(i))
+                return True
+        for b, slot in enumerate(self.slots):
+            if slot.request is not None and slot.request.req_id == req_id:
+                slot.request.done = True
+                slot.budget = 0
+                slot.pending_ids = None
+                # _maybe_finish retires the slot (and frees its pages in
+                # the paged engine)
+                self._maybe_finish(b)
+                return True
+        return False
+
     def submit_text(self, text: str, **kwargs) -> int:
         assert self.tokenizer is not None
         return self.submit(self.tokenizer.encode(text), **kwargs)

@@ -62,6 +62,28 @@ def test_single_request_matches_reference(engine_parts):
     assert got == ref, (got, ref)
 
 
+def test_cancel_queued_and_running(engine_parts):
+    """Cancelling must work in every lifecycle stage and never wedge the
+    engine: queued (dropped), decoding (retired at the chunk boundary),
+    unknown id (False)."""
+    eng = make_engine(engine_parts, max_batch=1)
+    r1 = eng.submit([3, 17, 42], max_new_tokens=32, temperature=0.0)
+    r2 = eng.submit([5, 6, 7], max_new_tokens=32, temperature=0.0)  # queued
+    eng.step()  # r1 decoding, r2 still queued (one slot)
+    assert eng.cancel(r2) is True       # queued
+    assert eng.cancel(r1) is True       # decoding
+    assert eng.cancel(9999) is False    # unknown
+    while eng.has_work:
+        eng.step()
+    ids = {r.req_id for r in eng.finished}
+    assert ids == {r1, r2}
+    # engine still serves new work after cancellations
+    r3 = eng.submit([9, 10, 11], max_new_tokens=4, temperature=0.0)
+    while eng.has_work:
+        eng.step()
+    assert any(r.req_id == r3 and len(r.generated) > 0 for r in eng.finished)
+
+
 def test_run_stream_yields_all_tokens(engine_parts):
     """Streaming run must surface exactly the tokens the batch run
     produces, incrementally, keyed by request id."""
