@@ -634,9 +634,15 @@ def prefill_chunk(
     dtype=jnp.bfloat16,
     rt: TpuRuntimeConfig = _DEFAULT_RT,
     slot_map: Optional[jax.Array] = None,  # (B,) chunk row → cache row
+    return_all_logits: bool = False,
 ):
     """Process one chunk of a long prompt: write KV at ``starts`` and attend
     causally over the WHOLE cache below each query's absolute position.
+
+    ``return_all_logits`` returns logits for EVERY chunk position
+    (B, Sc, V) instead of the last valid one — the verification step of
+    speculative decoding (serving/speculative.py) judges all draft
+    positions from one such call.
 
     Chunked prefill bounds the per-admission device step so decode streams
     are not stalled by a long prompt (serving/engine.py) and the compile set
@@ -678,8 +684,11 @@ def prefill_chunk(
     )
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
-    last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
-    logits = quant_linear(last, params["lm_head"], quant_type, rt)
+    if return_all_logits:
+        logits = quant_linear(h, params["lm_head"], quant_type, rt)
+    else:
+        last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
+        logits = quant_linear(last, params["lm_head"], quant_type, rt)
     logits = logits[..., : config.vocab_size]
 
     if slot_map is None:

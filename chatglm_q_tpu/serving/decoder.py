@@ -68,6 +68,14 @@ class GLMDecoder:
         self._decode = jax.jit(
             lambda p, ids, cache: M.decode_step(p, mc, ids, cache, qt, self.dtype, rt)
         )
+        # speculative verification: one chunked forward judges all draft
+        # positions (compiled on first speculative generate)
+        self._verify = jax.jit(
+            lambda p, ids, starts, valid, cache: M.prefill_chunk(
+                p, mc, ids, starts, valid, cache, qt, self.dtype, rt,
+                return_all_logits=True,
+            )
+        )
 
     # -- persistence -------------------------------------------------------
 
@@ -105,10 +113,18 @@ class GLMDecoder:
         top_p: float = 0.8,
         temperature: float = 1.0,
         seed: Optional[int] = None,
+        speculative_k: int = 0,
+        speculative_ngram: int = 3,
     ):
         """Streaming generator: yields the re-decoded response after each
         token (suppressing a trailing partial-UTF8 U+FFFD, decoder.py:93-95);
-        returns the final processed response."""
+        returns the final processed response.
+
+        ``speculative_k`` > 0 enables prompt-lookup speculative decoding
+        for GREEDY generation (temperature == 0): up to k tokens drafted
+        from the sequence's own n-gram repetitions are verified per device
+        step (serving/speculative.py) — token-for-token identical output,
+        fewer weight-streaming passes.  Ignored when sampling."""
         tokenizer = self.tokenizer
         prefix_ids = tokenizer.encode(prefix_text)
         # keep the most recent context when the prompt exceeds the cache
@@ -132,6 +148,10 @@ class GLMDecoder:
         generate_time: list[float] = []
         tp = jnp.float32(top_p)
         temp = jnp.float32(temperature)
+
+        speculate = speculative_k > 0 and temperature == 0.0
+        self.spec_stats = {"verify_steps": 0, "decode_steps": 0,
+                           "accepted_tokens": 0}
 
         start = time.perf_counter()
         logits, cache = self._prefill(
@@ -158,7 +178,61 @@ class GLMDecoder:
             if response_text and response_text[-1] != "�":
                 yield response_text
 
-            logits, cache = self._decode(self.params, tok, cache)
+            draft = None
+            if speculate:
+                from .speculative import find_draft
+
+                # cache currently holds prefix + generated[:-1]
+                cur_len = len(prefix_ids) + len(generated) - 1
+                room = min(
+                    self.max_sequence_length - cur_len - 1,
+                    max_generated_tokens - len(generated),
+                )
+                if room >= 1:
+                    draft = find_draft(prefix_ids + generated,
+                                       speculative_ngram,
+                                       min(speculative_k, room))
+            if draft:
+                KT = speculative_k + 1
+                seq = [next_token] + draft
+                ids = np.zeros((1, KT), np.int32)
+                ids[0, : len(seq)] = seq
+                all_logits, cache = self._verify(
+                    self.params, jnp.asarray(ids),
+                    jnp.asarray([cur_len], jnp.int32),
+                    jnp.asarray([len(seq)], jnp.int32), cache,
+                )
+                self.spec_stats["verify_steps"] += 1
+                row_argmax = np.asarray(
+                    jnp.argmax(all_logits[0, : len(seq)], axis=-1))
+                accepted = 0
+                stop = False
+                for i, d in enumerate(draft):
+                    if int(row_argmax[i]) != d:
+                        break
+                    generated.append(d)
+                    accepted += 1
+                    generate_time.append(time.perf_counter() - start)
+                    start = time.perf_counter()
+                    if d == self.eos_token_id:
+                        stop = True
+                        break
+                    response_text = process_response(tokenizer.decode(generated))
+                    if response_text and response_text[-1] != "�":
+                        yield response_text
+                self.spec_stats["accepted_tokens"] += accepted
+                # keep t0 + accepted drafts; rejected positions' KV sits
+                # above the length and is overwritten by later writes
+                cache = cache.replace(
+                    lengths=jnp.asarray([cur_len + 1 + accepted], jnp.int32))
+                if stop:
+                    break
+                # row `accepted` is the model's distribution after the
+                # accepted prefix — exactly the next greedy-decode logits
+                logits = all_logits[:, accepted]
+            else:
+                logits, cache = self._decode(self.params, tok, cache)
+                self.spec_stats["decode_steps"] += 1
 
         if self.time_log and generate_time:
             init_time, *rest_time = generate_time
