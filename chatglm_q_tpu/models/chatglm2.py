@@ -235,9 +235,11 @@ def block_forward(
         kw = k.transpose(0, 2, 1, 3)  # (B, G, S, D)
         vw = v.transpose(0, 2, 1, 3)
         kp = PK.write_pages(kv_write.k_pool, kw, kv_write.layer_idx,
-                            kv_write.page_table, kv_write.start)
+                            kv_write.page_table, kv_write.start,
+                            aligned=kv_write.aligned)
         vp = PK.write_pages(kv_write.v_pool, vw, kv_write.layer_idx,
-                            kv_write.page_table, kv_write.start)
+                            kv_write.page_table, kv_write.start,
+                            aligned=kv_write.aligned)
         kv_out = (kp, vp)
         if not isinstance(mask_bias, tuple):
             # XLA fallback (decode, or prefill masked over the full pool

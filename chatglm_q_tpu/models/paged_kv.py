@@ -59,6 +59,7 @@ class PagedWrite(NamedTuple):
     layer_idx: jax.Array
     page_table: jax.Array
     start: jax.Array  # (B,) write position per row (prefill: zeros)
+    aligned: bool = True  # False: S>1 writes at arbitrary (unaligned) starts
 
 
 def init_paged_kv_cache(
@@ -83,31 +84,35 @@ def init_paged_kv_cache(
     )
 
 
-def write_pages(pool, new, layer_idx, page_table, start):
+def write_pages(pool, new, layer_idx, page_table, start, aligned=True):
     """Write ``new`` (B, G, S, D) at positions start[b]..start[b]+S-1 of the
     paged pool (L, NP, G, P, D).
 
     S == 1 is the decode write (one row at a dynamic offset inside a
-    dynamically chosen page); S > 1 is the prefill write, which requires
-    every ``start`` to be PAGE-ALIGNED (0 for whole-prompt admission;
-    chunked prefill uses page-multiple chunk sizes) so the page split stays
-    static.  Batch is unrolled (engine batches are small; a vmap would
-    lower to a serial scatter anyway).
+    dynamically chosen page); S > 1 with ``aligned`` is the prefill write,
+    which requires every ``start`` to be PAGE-ALIGNED (0 for whole-prompt
+    admission; chunked prefill uses page-multiple chunk sizes) so the page
+    split stays static.  ``aligned=False`` writes token-by-token at
+    arbitrary starts (speculative verification: S = k+1 small).  Batch is
+    unrolled (engine batches are small; a vmap would lower to a serial
+    scatter anyway).
     """
     B, G, S, D = new.shape
     P = pool.shape[3]
     if new.dtype != pool.dtype:
         new = new.astype(pool.dtype)
-    if S == 1:
+    if S == 1 or not aligned:
         for b in range(B):
-            pos = start[b]
-            blk = pos // P
-            phys = jax.lax.dynamic_index_in_dim(page_table[b], blk, 0, keepdims=False)
-            off = pos % P
-            pool = jax.lax.dynamic_update_slice(
-                pool, new[b][None, None],  # (1, 1, G, 1, D)
-                (layer_idx, phys, 0, off, 0),
-            )
+            for t in range(S):
+                pos = start[b] + t
+                blk = pos // P
+                phys = jax.lax.dynamic_index_in_dim(page_table[b], blk, 0,
+                                                    keepdims=False)
+                off = pos % P
+                pool = jax.lax.dynamic_update_slice(
+                    pool, new[b][None, None, :, t : t + 1],  # (1, 1, G, 1, D)
+                    (layer_idx, phys, 0, off, 0),
+                )
         return pool
     # prefill: start is page-aligned, pages split statically
     n_pages = -(-S // P)
@@ -135,7 +140,7 @@ def gather_layer(pool, layer_idx, page_table):
 
 
 def _layers_scan_paged(params, config, quant_type, rt, h, freqs_cis, mask5,
-                       cache: PagedKVCache, start):
+                       cache: PagedKVCache, start, aligned=True):
     L = config.num_layers
 
     def scan_body(carry, inp):
@@ -143,7 +148,8 @@ def _layers_scan_paged(params, config, quant_type, rt, h, freqs_cis, mask5,
         layer_idx, layer_params = inp
         h, (kp, vp) = M.block_forward(
             layer_params, h, freqs_cis, mask5, config, quant_type, rt,
-            kv_write=PagedWrite(kp, vp, layer_idx, cache.page_table, start),
+            kv_write=PagedWrite(kp, vp, layer_idx, cache.page_table, start,
+                                aligned),
         )
         return (h, kp, vp), None
 
@@ -209,6 +215,8 @@ def prefill_chunk_paged(
     quant_type: str = "none",
     dtype=jnp.bfloat16,
     rt: TpuRuntimeConfig = _DEFAULT_RT,
+    return_all_logits: bool = False,
+    page_aligned: bool = True,
 ):
     """Chunked prefill over the paged pool (see chatglm2.prefill_chunk).
 
@@ -232,12 +240,16 @@ def prefill_chunk_paged(
         bias = jnp.where(causal, 0.0, M.MASK_VALUE).astype(jnp.float32)
         mask5 = bias[:, None, None, :, :]
     h, kp, vp = _layers_scan_paged(
-        params, config, quant_type, rt, h, freqs_cis, mask5, cache, starts
+        params, config, quant_type, rt, h, freqs_cis, mask5, cache, starts,
+        aligned=page_aligned,
     )
 
     h = M.rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
-    last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
-    logits = M.quant_linear(last, params["lm_head"], quant_type, rt)
+    if return_all_logits:
+        logits = M.quant_linear(h, params["lm_head"], quant_type, rt)
+    else:
+        last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
+        logits = M.quant_linear(last, params["lm_head"], quant_type, rt)
     logits = logits[..., : config.vocab_size]
 
     new_cache = cache.replace(k_pool=kp, v_pool=vp, lengths=new_lengths)

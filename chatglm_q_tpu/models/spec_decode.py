@@ -1,0 +1,124 @@
+"""In-graph speculative decoding over the paged KV cache.
+
+The host-side speculative decoder (serving/speculative.py + GLMDecoder)
+pays a host round trip per verification; this module keeps the ENTIRE
+draft→verify→accept loop inside one ``lax.scan``, the TPU way:
+
+* a device-side token ring (B, T) holds each row's prompt + generation
+  history; the draft for a step is found by a vectorized n-gram match over
+  that buffer (a few hundred VPU ops — invisible next to the forward);
+* verification is one (B, k+1)-token chunked forward over the paged cache
+  (prefill_chunk_paged with unaligned token writes), whose extra k rows
+  ride the same weight stream a single decode step already pays — decode
+  is HBM-bound, so accepted tokens are nearly free;
+* acceptance, next-token selection and ragged per-row length advances are
+  all vectorized; the host sees only the per-step (draft, accept, next)
+  triples at chunk boundaries.
+
+Greedy-exact: rows accept exactly the tokens step-by-step greedy would
+have produced (row i's argmax after context+draft[:i] must equal
+draft[i]); rows with no n-gram match draft the impossible token −1 and
+degrade to a plain decode step.  Rejected positions' KV/token writes sit
+above the rolled-back lengths and are overwritten later — the engine's
+standard invalidation rule.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ChatGLM2Config, TpuRuntimeConfig
+from . import paged_kv as PK
+
+_DEFAULT_RT = TpuRuntimeConfig()
+
+
+def find_drafts(tokbuf: jax.Array, lengths: jax.Array, ngram: int, k: int):
+    """Vectorized prompt-lookup drafting.
+
+    tokbuf (B, T) int32 token history per row (valid below ``lengths``);
+    returns (B, k) draft token ids, with −1 fillers where no draft exists
+    (−1 never equals an argmax, so such positions are simply rejected).
+    The most recent earlier occurrence of the last ``ngram`` tokens wins.
+    """
+    B, T = tokbuf.shape
+    g = ngram
+    # tail (B, g): tokens at lengths-g+i
+    tail_idx = lengths[:, None] - g + jnp.arange(g)[None, :]
+    tail = jnp.take_along_axis(tokbuf, jnp.clip(tail_idx, 0, T - 1), axis=1)
+    # match[p]: tokbuf[p : p+g] == tail, for p in [0, T-g)
+    match = jnp.ones((B, T - g), bool)
+    for i in range(g):
+        match &= tokbuf[:, i : T - g + i] == tail[:, i : i + 1]
+    # occurrence must be strictly earlier than the tail itself and the row
+    # must actually have a g-token tail
+    p_range = jnp.arange(T - g)[None, :]
+    valid = (p_range <= lengths[:, None] - g - 1) & (lengths[:, None] >= g + 1)
+    match &= valid
+    p_star = jnp.max(jnp.where(match, p_range, -1), axis=1)      # (B,)
+    has = p_star >= 0
+    src = p_star[:, None] + g + jnp.arange(k)[None, :]           # (B, k)
+    draft = jnp.take_along_axis(tokbuf, jnp.clip(src, 0, T - 1), axis=1)
+    # only positions that are real history may be drafted
+    ok = has[:, None] & (src < lengths[:, None])
+    return jnp.where(ok, draft, -1)
+
+
+def _write_token_rows(tokbuf, seq, starts):
+    """Write seq (B, S) into tokbuf (B, T) at per-row starts (unrolled)."""
+    B, S = seq.shape
+    for b in range(B):
+        tokbuf = jax.lax.dynamic_update_slice(
+            tokbuf, seq[b : b + 1], (b, starts[b]))
+    return tokbuf
+
+
+def speculative_decode_paged(
+    params: dict,
+    config: ChatGLM2Config,
+    first_tok: jax.Array,     # (B,) pending tokens (already emitted)
+    cache: PK.PagedKVCache,
+    tokbuf: jax.Array,        # (B, T) token history, valid below lengths
+    n_steps: int,
+    k: int = 8,
+    ngram: int = 3,
+    quant_type: str = "none",
+    dtype=jnp.bfloat16,
+    rt: TpuRuntimeConfig = _DEFAULT_RT,
+):
+    """Run ``n_steps`` in-graph verify steps (greedy).  Each step consumes
+    the carried token, writes it + its k drafts, and advances each row by
+    ``1 + accept`` positions.
+
+    Returns (drafts (n, B, k), accepts (n, B), nexts (n, B), cache,
+    tokbuf): step s of row b emitted ``drafts[s, b, :accepts[s, b]]``
+    followed by ``nexts[s, b]``.
+    """
+    KT = k + 1
+    B = first_tok.shape[0]
+
+    def step(carry, _):
+        tok, cache, tokbuf = carry
+        l0 = cache.lengths
+        # the pending token is part of the search history (the n-gram tail
+        # ends with it — one step fresher than searching without it)
+        tokbuf = _write_token_rows(tokbuf, tok[:, None], l0)
+        draft = find_drafts(tokbuf, l0 + 1, ngram, k)            # (B, k)
+        seq = jnp.concatenate([tok[:, None], draft], axis=1)     # (B, KT)
+        safe_seq = jnp.maximum(seq, 0)
+        tokbuf = _write_token_rows(tokbuf, safe_seq[:, 1:], l0 + 1)
+        all_logits, cache = PK.prefill_chunk_paged(
+            params, config, safe_seq, l0, jnp.full((B,), KT, jnp.int32),
+            cache, quant_type, dtype, rt,
+            return_all_logits=True, page_aligned=False,
+        )
+        argm = jnp.argmax(all_logits, axis=-1).astype(jnp.int32)  # (B, KT)
+        eq = (argm[:, :k] == draft).astype(jnp.int32)
+        accept = jnp.cumprod(eq, axis=1).sum(axis=1)              # (B,)
+        nxt = jnp.take_along_axis(argm, accept[:, None], axis=1)[:, 0]
+        cache = cache.replace(lengths=(l0 + 1 + accept).astype(jnp.int32))
+        return (nxt, cache, tokbuf), (draft, accept, nxt)
+
+    (last, cache, tokbuf), (drafts, accepts, nexts) = jax.lax.scan(
+        step, (first_tok, cache, tokbuf), None, length=n_steps)
+    return drafts, accepts, nexts, cache, tokbuf

@@ -35,11 +35,18 @@ from .engine import ServingEngine
 class PagedServingEngine(ServingEngine):
     def __init__(self, config, params, tokenizer=None, *,
                  num_pages: int = 64, page_size: int = 256,
-                 prefix_cache: bool = False, **kwargs):
+                 prefix_cache: bool = False,
+                 speculative_k: int = 0, speculative_ngram: int = 3,
+                 **kwargs):
         # consumed by _make_cache, which super().__init__ calls
         self.num_pages = num_pages
         self.page_size = page_size
         self.prefix_cache = prefix_cache
+        # in-graph prompt-lookup speculative decoding (greedy requests):
+        # models/spec_decode.py; chunks fall back to plain decode whenever
+        # any active request samples (temperature > 0)
+        self.speculative_k = speculative_k
+        self.speculative_ngram = speculative_ngram
         super().__init__(config, params, tokenizer, **kwargs)
         if self.prefill_chunk_size is not None:
             assert self.prefill_chunk_size % page_size == 0, (
@@ -60,7 +67,11 @@ class PagedServingEngine(ServingEngine):
         # releasing the registry's references, under allocation pressure)
         from collections import OrderedDict
         self._prefix_lru: "OrderedDict[tuple, list[int]]" = OrderedDict()
-        self.stats.update(prefix_hits=0, prefix_tokens_reused=0)
+        self.stats.update(prefix_hits=0, prefix_tokens_reused=0,
+                          spec_accepted=0, spec_steps=0)
+        # device-side token history (rows valid below cache.lengths) for
+        # n-gram drafting; prompt rows written at admission
+        self._tokbuf = jnp.zeros((self.max_batch, self.max_seq_len), jnp.int32)
 
     def _make_cache(self):
         return PK.init_paged_kv_cache(
@@ -226,9 +237,40 @@ class PagedServingEngine(ServingEngine):
             return toks.T, cache.replace(
                 k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
+        @partial(jax.jit, static_argnames=("n", "k", "ngram"),
+                 donate_argnums=(1, 2))
+        def _spec_chunk_compact(params, cache, tokbuf, first_tok, real, slots,
+                                n, k, ngram):
+            # compact speculative chunk: models/spec_decode.py loop over the
+            # active slots' rows (padding rows: zeroed tables/lengths)
+            from ..models import spec_decode as SD
+
+            pt_rows = jnp.take(cache.page_table, slots, axis=0)
+            pt_rows = jnp.where(real[:, None], pt_rows, 0)
+            lens = jnp.where(real, jnp.take(cache.lengths, slots), 0)
+            tb = jnp.take(tokbuf, slots, axis=0)
+            sub = PK.PagedKVCache(
+                k_pool=cache.k_pool, v_pool=cache.v_pool,
+                page_table=pt_rows, lengths=lens.astype(jnp.int32),
+            )
+            drafts, accepts, nexts, sub, tb = SD.speculative_decode_paged(
+                params, self.mc, first_tok, sub, tb, n, k, ngram,
+                qt, self.dtype, self.rt,
+            )
+            new_lengths = cache.lengths
+            for i in range(slots.shape[0]):
+                new_lengths = new_lengths.at[slots[i]].set(
+                    jnp.where(real[i], sub.lengths[i], new_lengths[slots[i]]))
+                tokbuf = tokbuf.at[slots[i]].set(
+                    jnp.where(real[i], tb[i], tokbuf[slots[i]]))
+            cache = cache.replace(k_pool=sub.k_pool, v_pool=sub.v_pool,
+                                  lengths=new_lengths)
+            return drafts, accepts, nexts, cache, tokbuf
+
         self._prefill_into_slot = _prefill_into_slot
         self._decode_chunk_compact = _decode_chunk_compact
         self._prefill_chunk_compact = _prefill_chunk_compact
+        self._spec_chunk_compact = _spec_chunk_compact
 
     def step(self) -> list:
         """Admit, advance prefill chunks, one COMPACT decode chunk over the
@@ -246,6 +288,8 @@ class PagedServingEngine(ServingEngine):
         real = np.zeros((PB,), bool)
         real[: len(active)] = True
         reqs = [self.slots[b].request for b in active]
+        if self.speculative_k and all(r.temperature == 0 for r in reqs):
+            return self._spec_step(started, active, slots, real, n)
         temps = np.array([r.temperature for r in reqs] + [0.0] * (PB - len(active)),
                          np.float32)
         tops = np.array([r.top_p for r in reqs] + [1.0] * (PB - len(active)),
@@ -264,9 +308,43 @@ class PagedServingEngine(ServingEngine):
         toks = np.asarray(toks)  # (PB, n)
         out = started
         for i, b in enumerate(active):
-            out.append(self._consume_slot_tokens(b, toks[i], n))
+            prev_pending = int(self._last_tok[b])
+            res = self._consume_slot_tokens(b, toks[i], n)
+            out.append(res)
+            if self.speculative_k:
+                # keep the device token history in sync for later
+                # speculative chunks (this chunk ran the plain path).
+                # Cache positions gained this chunk hold the previous
+                # pending token + all but the last emitted one (the new
+                # pending token is not placed yet).
+                placed = [prev_pending] + res[1][:-1]
+                l_after = int(self._host_lengths[b])
+                self._tokbuf = self._tokbuf.at[
+                    b, l_after - len(placed) : l_after
+                ].set(jnp.asarray(placed, jnp.int32))
         self.stats["steps"] += 1
         self.stats["decode_chunks"] += 1
+        return out
+
+    def _spec_step(self, started, active, slots, real, n):
+        drafts, accepts, nexts, self.cache, self._tokbuf =             self._spec_chunk_compact(
+                self.params, self.cache, self._tokbuf,
+                jnp.asarray([self._last_tok[b] for b in slots], jnp.int32),
+                jnp.asarray(real), jnp.asarray(slots, dtype=jnp.int32),
+                n, self.speculative_k, self.speculative_ngram,
+            )
+        drafts, accepts, nexts = map(np.asarray, (drafts, accepts, nexts))
+        out = started
+        for i, b in enumerate(active):
+            row = []
+            for s in range(n):
+                a = int(accepts[s, i])
+                row += drafts[s, i, :a].tolist() + [int(nexts[s, i])]
+                self.stats["spec_accepted"] += a
+            out.append(self._consume_slot_tokens(b, row, len(row)))
+        self.stats["steps"] += 1
+        self.stats["decode_chunks"] += 1
+        self.stats["spec_steps"] += n
         return out
 
     # -- page allocation -------------------------------------------------
@@ -276,9 +354,11 @@ class PagedServingEngine(ServingEngine):
         keep = max(1, self.max_seq_len - reserve)
         n_ids = len(req.prompt_ids[-keep:])
         bucket = self._bucket(n_ids)
-        # +chunk: in-chunk over-generation past the budget writes before the
+        # +slack: in-chunk over-generation past the budget writes before the
         # host rolls it back; those writes must stay inside owned pages
-        tokens = min(max(bucket, n_ids + req.max_new_tokens + self.chunk),
+        # (speculative chunks can advance up to (k+1) positions per step)
+        slack = self.chunk * (self.speculative_k + 1 if self.speculative_k else 1)
+        tokens = min(max(bucket, n_ids + req.max_new_tokens + slack),
                      self.max_seq_len)
         return -(-tokens // self.page_size)
 
@@ -311,6 +391,10 @@ class PagedServingEngine(ServingEngine):
                     jnp.asarray(row))
             )
             self.queue.pop(0)
+            if self.speculative_k:
+                row = np.zeros((self.max_seq_len,), np.int32)
+                row[: len(ids)] = ids
+                self._tokbuf = self._tokbuf.at[slot_idx].set(jnp.asarray(row))
             if shared_tokens:
                 self.stats["prefix_hits"] += 1
                 self.stats["prefix_tokens_reused"] += shared_tokens
