@@ -41,6 +41,9 @@ def main():
                     help="paged pool size (0 = auto)")
     ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--flash", action="store_true")
+    ap.add_argument("--speculative-k", type=int, default=0,
+                    help="in-graph prompt-lookup speculation (paged engine, "
+                         "greedy; 7 keeps the verify tile 8-row aligned)")
     args = ap.parse_args()
 
     mc = ChatGLM2Config()
@@ -58,7 +61,8 @@ def main():
             args.max_batch * (-(-args.max_seq // args.page_size)) + 2)
         eng = PagedServingEngine(cfg, params, tokenizer=None,
                                  num_pages=pages, page_size=args.page_size,
-                                 prefix_cache=args.prefix_cache, **kw)
+                                 prefix_cache=args.prefix_cache,
+                                 speculative_k=args.speculative_k, **kw)
     else:
         eng = ServingEngine(cfg, params, tokenizer=None, **kw)
     rng = np.random.default_rng(0)
@@ -87,7 +91,9 @@ def main():
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),
-        **({"prefix_hits": eng.stats.get("prefix_hits", 0)}
+        **({"prefix_hits": eng.stats.get("prefix_hits", 0),
+            "spec_accepted": eng.stats.get("spec_accepted", 0),
+            "spec_steps": eng.stats.get("spec_steps", 0)}
            if args.engine == "paged" else {}),
     }))
 

@@ -48,6 +48,8 @@ step eng_chunk 2400 python benchmarks/engine_bench.py --prefill-chunk 128
 step eng_paged 2400 python benchmarks/engine_bench.py --engine paged --flash \
   --prefill-chunk 256 --prefix-cache --shared-prefix 48
 step eng_flash 2400 python benchmarks/engine_bench.py --flash
+step eng_spec  2400 python benchmarks/engine_bench.py --engine paged --flash \
+  --prefill-chunk 256 --speculative-k 7
 
 # 5b. prefill/batch-shape autotune (dequant cost applies at all M;
 # dyn-int8's +44% prefill shows it)
