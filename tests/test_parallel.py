@@ -247,6 +247,38 @@ def test_distributed_engine_cross_shard_batching():
     assert ref_out == dist_out
 
 
+def test_distributed_engine_chunked_admission():
+    """Chunked prefill under the SPMD engine: compact chunk batches with
+    kernel row maps must stay token-exact over a (data, model) mesh."""
+    from chatglm_q_tpu.config import GLMLoadConfig
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.dist_engine import DistributedServingEngine
+
+    params = M.init_params(jax.random.PRNGKey(22), CFG, "none", jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    rng = np.random.RandomState(9)
+    prompts = [rng.randint(3, 120, size=n).tolist() for n in (19, 4, 26, 9)]
+
+    eng = ServingEngine(load_cfg, params, None, max_batch=4, max_seq_len=64,
+                        decode_chunk=4, rt=RT)
+    ref_out = eng.run(prompts, max_new_tokens=5, temperature=0.0)
+
+    mesh = S.make_mesh(2, 4)
+    sharded = S.shard_params(params, mesh, CFG, "none")
+    with mesh:
+        deng = DistributedServingEngine(
+            load_cfg, sharded, None, mesh=mesh, max_batch=4, max_seq_len=64,
+            decode_chunk=4, prefill_chunk_size=8,
+            rt=TpuRuntimeConfig(use_pallas=False),
+        )
+        deng.sync_submissions(prompts, max_new_tokens=5, temperature=0.0)
+        while deng.has_work:
+            deng.step()
+        by_id = {r.req_id: r.generated for r in deng.finished}
+        dist_out = [by_id[i] for i in sorted(by_id)]
+    assert ref_out == dist_out
+
+
 def test_decode_kv_tsharded_matches_single_device():
     """Sequence-sharded KV cache (kv_shard_t): per-shard flash partials +
     log-sum-exp merge must match the unsharded decode exactly; per-chip KV
