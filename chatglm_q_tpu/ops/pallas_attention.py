@@ -640,6 +640,66 @@ def flash_attention_decode_paged(
     return out
 
 
+def flash_attention_decode_paged_sharded(
+    q, k_pool, v_pool, layer_idx, page_table, lengths, sm_scale, mesh,
+    data_axis="data", model_axis="model", interpret=None,
+):
+    """Paged ragged decode over a DATA-sharded page pool.
+
+    The pool's physical-page dim (NP of (L, NP, G, P, D)) shards over the
+    ``data`` axis: each data shard owns NP/n_data pages and only its own
+    batch rows, so pool memory scales down with the data-parallel degree
+    (a replicated pool would store every shard's pages everywhere).  The
+    engine's per-group allocator (serving/dist_engine.py) guarantees a
+    row's table entries point only at its own shard's pages; inside the
+    per-device body the GLOBAL page ids translate to shard-local ones by
+    subtracting the shard's base page.  q heads shard over ``model`` as in
+    :func:`flash_attention_decode_sharded`; the pool replicates over
+    ``model`` (it is written by the replicated kv_proj).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    nd = sizes.get(data_axis, 1)
+    tp = sizes.get(model_axis, 1)
+    B, G, Hg, D = q.shape
+    NP = k_pool.shape[1]
+    if B % nd or NP % nd or Hg % tp:
+        return flash_attention_decode_paged(
+            q, k_pool, v_pool, layer_idx, page_table, lengths, sm_scale,
+            interpret=interpret,
+        )
+    np_local = NP // nd
+    lyr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    def local_fn(q, kp, vp, lyr, pt, lens):
+        base = jax.lax.axis_index(data_axis) * np_local
+        # clip is a safety net only: out-of-group ids indicate an allocator
+        # bug (tests assert locality), but must not read out of bounds
+        ptl = jnp.clip(pt - base, 0, np_local - 1)
+        return flash_attention_decode_paged(
+            q, kp, vp, lyr, ptl, lens, sm_scale, interpret=interpret
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None, model_axis, None),
+            P(None, data_axis, None, None, None),
+            P(None, data_axis, None, None, None),
+            P(None),
+            P(data_axis, None),
+            P(data_axis),
+        ),
+        out_specs=P(data_axis, None, model_axis, None),
+        check_vma=False,
+    )
+    return fn(q, k_pool, v_pool, lyr, page_table.astype(jnp.int32),
+              lengths.astype(jnp.int32))
+
+
 def flash_attention_decode_kv_tsharded(
     q, k, v, lengths, sm_scale, mesh, block_k=512,
     data_axis="data", model_axis="model", interpret=None,

@@ -146,6 +146,24 @@ def kv_cache_pspecs(shard_t: bool = False):
     )
 
 
+def paged_kv_pspecs():
+    """PagedKVCache specs for the (L, NP, G, P, D) pool: physical pages
+    shard over the data axis (each data shard owns NP/n_data pages — pool
+    memory scales down with dp), page table and lengths shard their batch
+    dim.  Pairs with the per-group page allocator
+    (serving/dist_engine.DistributedPagedServingEngine), which keeps every
+    row's pages on its owning shard, and with
+    ops/pallas_attention.flash_attention_decode_paged_sharded."""
+    from ..models.paged_kv import PagedKVCache
+
+    return PagedKVCache(
+        k_pool=P(None, DATA_AXIS, None, None, None),
+        v_pool=P(None, DATA_AXIS, None, None, None),
+        page_table=P(DATA_AXIS, None),
+        lengths=P(DATA_AXIS),
+    )
+
+
 def shard_params(params: dict, mesh: Mesh, config: ChatGLM2Config, quant_type: str):
     """device_put the tree with its NamedShardings."""
     specs = param_pspecs(config, quant_type, params)

@@ -1,5 +1,5 @@
 from .decoder import GLMDecoder
 from .chat import chat_template, process_response
 from .engine import ServingEngine, Request
-from .dist_engine import DistributedServingEngine
 from .paged_engine import PagedServingEngine
+from .dist_engine import DistributedServingEngine, DistributedPagedServingEngine

@@ -32,11 +32,13 @@ from typing import Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GLMLoadConfig, TpuRuntimeConfig
 from ..parallel import sharding as S
 from .engine import ServingEngine, Request
+from .paged_engine import PagedServingEngine
 
 
 class DistributedServingEngine(ServingEngine):
@@ -112,3 +114,108 @@ class DistributedServingEngine(ServingEngine):
         payload = multihost_utils.broadcast_one_to_all(payload)
         for prompt in payload or []:
             self.submit(list(prompt), **kwargs)
+
+
+class DistributedPagedServingEngine(PagedServingEngine):
+    """Paged continuous batching over a (data, model) mesh.
+
+    Extends the single-host paged engine (BASELINE config 5 at paged-pool
+    memory economics): the page pool's physical-page dim shards over
+    ``data`` — each data shard stores only its own slots' pages — and the
+    per-group allocator (paged_engine.py) keeps a row's pages strictly on
+    its owning shard, so the sharded decode kernel
+    (flash_attention_decode_paged_sharded) never reads cross-shard.
+
+    Scheduling adds **prefix affinity** on top of load balancing: prefix
+    registries are per data shard (pages cannot be attended across shards),
+    so admission routes a request to the shard already caching its longest
+    prompt prefix, and only falls back to the least-loaded shard when no
+    prefix matches anywhere — KV reuse without any cross-ICI page traffic.
+
+    Decode runs FULL-batch (``_full_batch_decode``): the slot→shard mapping
+    is static, so there is no compacting row gather that GSPMD would have
+    to implement as a cross-shard all-to-all.
+    """
+
+    _full_batch_decode = True
+
+    def __init__(
+        self,
+        config: GLMLoadConfig,
+        params: dict,
+        tokenizer=None,
+        *,
+        mesh: Mesh,
+        max_batch: int = 8,
+        rt: Optional[TpuRuntimeConfig] = None,
+        **kwargs,
+    ):
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self.n_data = sizes.get(S.DATA_AXIS, 1)
+        assert max_batch % self.n_data == 0, (
+            f"max_batch {max_batch} must divide over data axis {self.n_data}"
+        )
+        assert kwargs.get("speculative_k", 0) == 0, (
+            "speculative decoding is single-host only (compact batches)"
+        )
+        self.mesh = mesh
+        if rt is None:
+            rt = TpuRuntimeConfig(mesh=mesh)
+        super().__init__(config, params, tokenizer, max_batch=max_batch,
+                         rt=rt, **kwargs)
+        # unadmitted rows point at their OWN group's garbage page from the
+        # start (init zeros would alias every row to shard 0's page 0,
+        # making inactive-slot writes cross-shard traffic under GSPMD)
+        self.cache = self.cache.replace(
+            page_table=jnp.asarray(np.broadcast_to(
+                self._garbage[:, None], self.cache.page_table.shape)))
+        pool_shardings = jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec), S.paged_kv_pspecs()
+        )
+        self.cache = jax.tree.map(jax.device_put, self.cache, pool_shardings)
+
+    @property
+    def _group_size(self) -> int:
+        return self.max_batch // self.n_data
+
+    def _shard_of(self, slot_idx: int) -> int:
+        return self._slot_group(slot_idx)
+
+    def _admit(self):
+        """Prefix-affinity admission: route each queued request to the data
+        shard whose registry caches its longest prompt prefix; tie-break by
+        fewest active slots (the dense engine's balancer).  A shard that
+        cannot allocate pages is skipped; if no shard can, admission waits
+        (backpressure)."""
+        while self.queue:
+            req = self.queue[0]
+            ids = self._sliced_prompt(req)
+            active = [0] * self.n_data
+            free: list[list[int]] = [[] for _ in range(self.n_data)]
+            for idx, slot in enumerate(self.slots):
+                g = self._slot_group(idx)
+                if slot.request is not None:
+                    active[g] += 1
+                else:
+                    free[g].append(idx)
+            ranked = []
+            for g in range(self.n_data):
+                if not free[g]:
+                    continue
+                shared_tokens = 0
+                if self.prefix_cache:
+                    _, shared_tokens = self._match_prefix(ids, g, peek=True)
+                ranked.append((-shared_tokens, active[g], g))
+            if not ranked:
+                return  # no free slot anywhere
+            admitted = False
+            for _, _, g in sorted(ranked):
+                if self._try_admit(free[g][0], req):
+                    self.queue.pop(0)
+                    admitted = True
+                    break
+            if not admitted:
+                return  # every candidate shard is out of pages
+
+    # multi-process ingestion is identical to the dense engine's
+    sync_submissions = DistributedServingEngine.sync_submissions

@@ -33,6 +33,10 @@ from .engine import ServingEngine
 
 
 class PagedServingEngine(ServingEngine):
+    # distributed subclass: decode the whole slot batch (static slot→shard
+    # groups) instead of a compacted active subset
+    _full_batch_decode = False
+
     def __init__(self, config, params, tokenizer=None, *,
                  num_pages: int = 64, page_size: int = 256,
                  prefix_cache: bool = False,
@@ -47,6 +51,14 @@ class PagedServingEngine(ServingEngine):
         # any active request samples (temperature > 0)
         self.speculative_k = speculative_k
         self.speculative_ngram = speculative_ngram
+        # page-pool allocation is per GROUP: the single-host engine is one
+        # group; the distributed engine (dist_engine.py) sets n_data before
+        # this runs, partitioning pages and slots into data-shard groups so
+        # a row's pages always live on its owning shard
+        self._n_groups = getattr(self, "n_data", 1)
+        assert num_pages % self._n_groups == 0, (num_pages, self._n_groups)
+        self._group_pages = num_pages // self._n_groups
+        assert self._group_pages >= 2, "each group needs a garbage page + 1"
         super().__init__(config, params, tokenizer, **kwargs)
         if self.prefill_chunk_size is not None:
             assert self.prefill_chunk_size % page_size == 0, (
@@ -56,22 +68,35 @@ class PagedServingEngine(ServingEngine):
             # is exactly the chunked-prefill entry point
             assert self.prefill_chunk_size is not None, (
                 "prefix_cache requires prefill_chunk_size")
-        # page 0 reserved for garbage writes of inactive slots
-        self._free_pages = list(range(1, num_pages))
+        # each group's FIRST page is its reserved garbage page (inactive
+        # slots write there); the single-group engine's is physical page 0
+        self._free = [
+            list(range(g * self._group_pages + 1, (g + 1) * self._group_pages))
+            for g in range(self._n_groups)
+        ]
         self._slot_pages: dict[int, list[int]] = {}
         # refcount per allocated physical page: slots and prefix-registry
         # entries each hold one reference; a page returns to the free list
         # at zero
         self._page_refs: dict[int, int] = {}
-        # page-aligned token prefix → its KV pages, LRU order (evicted,
-        # releasing the registry's references, under allocation pressure)
+        # per group: page-aligned token prefix → its KV pages, LRU order
+        # (evicted, releasing the registry's references, under pressure)
         from collections import OrderedDict
-        self._prefix_lru: "OrderedDict[tuple, list[int]]" = OrderedDict()
+        self._prefix_lrus: list["OrderedDict[tuple, list[int]]"] = [
+            OrderedDict() for _ in range(self._n_groups)
+        ]
+        # per-slot garbage page id (the owning group's reserved page)
+        self._garbage = np.array(
+            [self._slot_group(b) * self._group_pages
+             for b in range(self.max_batch)], np.int32)
         self.stats.update(prefix_hits=0, prefix_tokens_reused=0,
                           spec_accepted=0, spec_steps=0)
         # device-side token history (rows valid below cache.lengths) for
         # n-gram drafting; prompt rows written at admission
         self._tokbuf = jnp.zeros((self.max_batch, self.max_seq_len), jnp.int32)
+
+    def _slot_group(self, slot_idx: int) -> int:
+        return slot_idx // (self.max_batch // self._n_groups)
 
     def _make_cache(self):
         return PK.init_paged_kv_cache(
@@ -85,7 +110,12 @@ class PagedServingEngine(ServingEngine):
 
     @property
     def pages_cached(self) -> int:
-        return sum(len(p) for p in self._prefix_lru.values())
+        return sum(len(p) for lru in self._prefix_lrus for p in lru.values())
+
+    @property
+    def _free_pages(self) -> list:
+        """All free pages across groups (introspection/tests)."""
+        return [p for fl in self._free for p in fl]
 
     # -- page refcounting ------------------------------------------------
 
@@ -98,34 +128,40 @@ class PagedServingEngine(ServingEngine):
             self._page_refs[p] -= 1
             if self._page_refs[p] == 0:
                 del self._page_refs[p]
-                self._free_pages.append(p)
+                self._free[p // self._group_pages].append(p)
 
-    def _alloc(self, n: int):
-        """Take n fresh pages (ref 1 each), evicting LRU prefix entries
-        under pressure; None if the pool cannot satisfy the request."""
-        while len(self._free_pages) < n and self._prefix_lru:
-            key, pages = self._prefix_lru.popitem(last=False)
+    def _alloc(self, n: int, group: int = 0):
+        """Take n fresh pages from ``group``'s pool (ref 1 each), evicting
+        the group's LRU prefix entries under pressure; None if the group
+        cannot satisfy the request."""
+        free, lru = self._free[group], self._prefix_lrus[group]
+        while len(free) < n and lru:
+            key, pages = lru.popitem(last=False)
             self._release(pages)
             if self.logger:
                 self.logger.log("prefix_evict", tokens=len(key),
                                 pages=len(pages))
-        if len(self._free_pages) < n:
+        if len(free) < n:
             return None
-        pages = [self._free_pages.pop() for _ in range(n)]
+        pages = [free.pop() for _ in range(n)]
         self._retain(pages)
         return pages
 
     # -- prefix cache ----------------------------------------------------
 
-    def _match_prefix(self, ids: list):
-        """Longest registered page-aligned prefix strictly shorter than the
-        prompt (the final token must prefill so its logits exist)."""
+    def _match_prefix(self, ids: list, group: int = 0, peek: bool = False):
+        """Longest prefix registered in ``group`` that is page-aligned and
+        strictly shorter than the prompt (the final token must prefill so
+        its logits exist).  ``peek`` skips the LRU touch (admission-affinity
+        scoring probes must not reorder evictions)."""
         P = self.page_size
+        lru = self._prefix_lrus[group]
         for k in range((len(ids) - 1) // P, 0, -1):
             key = tuple(ids[: k * P])
-            if key in self._prefix_lru:
-                self._prefix_lru.move_to_end(key)
-                return list(self._prefix_lru[key]), k * P
+            if key in lru:
+                if not peek:
+                    lru.move_to_end(key)
+                return list(lru[key]), k * P
         return [], 0
 
     def _start_decoding(self, slot_idx, req, logits, n_ids):
@@ -135,21 +171,25 @@ class PagedServingEngine(ServingEngine):
             # head (system prompt, few-shot header) must match the shared
             # pages, not this prompt's full span.  Entries share page
             # objects via refcounts; the registry holds one reference per
-            # entry per page.
+            # entry per page.  Registration goes to the slot's OWN group:
+            # its pages live on that shard, and the distributed admission
+            # routes prefix-sharing requests there (prefix affinity).
+            lru = self._prefix_lrus[self._slot_group(slot_idx)]
             ids = self._sliced_prompt(req)
             kmax = (len(ids) - 1) // self.page_size
             for k in range(1, kmax + 1):
                 key = tuple(ids[: k * self.page_size])
-                if key not in self._prefix_lru:
+                if key not in lru:
                     pages = self._slot_pages[slot_idx][:k]
                     self._retain(pages)
-                    self._prefix_lru[key] = pages
+                    lru[key] = pages
         super()._start_decoding(slot_idx, req, logits, n_ids)
 
     def clear_prefix_cache(self):
-        while self._prefix_lru:
-            _, pages = self._prefix_lru.popitem(last=False)
-            self._release(pages)
+        for lru in self._prefix_lrus:
+            while lru:
+                _, pages = lru.popitem(last=False)
+                self._release(pages)
 
     # -- programs --------------------------------------------------------
 
@@ -196,19 +236,27 @@ class PagedServingEngine(ServingEngine):
             return logits, cache.replace(
                 k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
-        @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
+        @partial(jax.jit, static_argnames=("n", "top_k", "full_batch"),
+                 donate_argnums=(1,))
         def _decode_chunk_compact(params, cache, first_tok, rng, real,
-                                  sampling, slots, n, top_k):
+                                  sampling, slots, garb, n, top_k,
+                                  full_batch=False):
             # COMPACT decode: only the active slots' rows are computed
             # (bucketed to a power of two).  Padding rows (real == False)
-            # get a zeroed page-table row and length 0, so their writes
-            # land on garbage page 0 and their outputs are discarded —
-            # free and mid-prefill slots simply aren't in the batch, which
-            # removes the dense path's whole garbage-write analysis.
+            # get their group's garbage-page table row and length 0, so
+            # their writes are discarded — free and mid-prefill slots
+            # simply aren't in the batch, which removes the dense path's
+            # whole garbage-write analysis.  ``full_batch`` (distributed
+            # engine) decodes ALL slots in place instead: the slot→data-
+            # shard mapping is static, so no cross-shard row gather exists.
             temperature, top_p, top_k_limit = sampling
-            pt_rows = jnp.take(cache.page_table, slots, axis=0)
-            pt_rows = jnp.where(real[:, None], pt_rows, 0)
-            lens = jnp.where(real, jnp.take(cache.lengths, slots), 0)
+            if full_batch:
+                pt_rows, lens_src = cache.page_table, cache.lengths
+            else:
+                pt_rows = jnp.take(cache.page_table, slots, axis=0)
+                lens_src = jnp.take(cache.lengths, slots)
+            pt_rows = jnp.where(real[:, None], pt_rows, garb[:, None])
+            lens = jnp.where(real, lens_src, 0)
             sub = PK.PagedKVCache(
                 k_pool=cache.k_pool, v_pool=cache.v_pool,
                 page_table=pt_rows, lengths=lens.astype(jnp.int32),
@@ -230,10 +278,13 @@ class PagedServingEngine(ServingEngine):
 
             rngs = jax.random.split(rng, n)
             (last, sub), toks = jax.lax.scan(step, (first_tok, sub), rngs)
-            new_lengths = cache.lengths
-            for i in range(slots.shape[0]):
-                new_lengths = new_lengths.at[slots[i]].set(
-                    jnp.where(real[i], sub.lengths[i], new_lengths[slots[i]]))
+            if full_batch:
+                new_lengths = jnp.where(real, sub.lengths, cache.lengths)
+            else:
+                new_lengths = cache.lengths
+                for i in range(slots.shape[0]):
+                    new_lengths = new_lengths.at[slots[i]].set(
+                        jnp.where(real[i], sub.lengths[i], new_lengths[slots[i]]))
             return toks.T, cache.replace(
                 k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
@@ -274,7 +325,8 @@ class PagedServingEngine(ServingEngine):
 
     def step(self) -> list:
         """Admit, advance prefill chunks, one COMPACT decode chunk over the
-        active slots only."""
+        active slots only (full-batch in the distributed engine, where the
+        slot→shard mapping is static)."""
         self._admit()
         self._advance_prefills()
         started, self._started_events = self._started_events, []
@@ -283,31 +335,46 @@ class PagedServingEngine(ServingEngine):
             self.stats["steps"] += 1
             return started
         n = self.chunk
-        PB = min(1 << (len(active) - 1).bit_length(), self.max_batch)
-        slots = active + [0] * (PB - len(active))
-        real = np.zeros((PB,), bool)
-        real[: len(active)] = True
+        full = self._full_batch_decode
+        if full:
+            PB = self.max_batch
+            slots = list(range(PB))
+            real = np.array([self.slots[b].decoding for b in slots], bool)
+            rows = {b: b for b in active}
+        else:
+            PB = min(1 << (len(active) - 1).bit_length(), self.max_batch)
+            slots = active + [0] * (PB - len(active))
+            real = np.zeros((PB,), bool)
+            real[: len(active)] = True
+            rows = {b: i for i, b in enumerate(active)}
         reqs = [self.slots[b].request for b in active]
         if self.speculative_k and all(r.temperature == 0 for r in reqs):
             return self._spec_step(started, active, slots, real, n)
-        temps = np.array([r.temperature for r in reqs] + [0.0] * (PB - len(active)),
-                         np.float32)
-        tops = np.array([r.top_p for r in reqs] + [1.0] * (PB - len(active)),
-                        np.float32)
-        top_ks = np.array([r.top_k for r in reqs] + [1] * (PB - len(active)),
-                          np.int32)
+
+        def per_row(attr, default, dtype):
+            return np.array(
+                [getattr(self.slots[b].request, attr)
+                 if real[i] else default
+                 for i, b in enumerate(slots)], dtype)
+
+        temps = per_row("temperature", 0.0, np.float32)
+        tops = per_row("top_p", 1.0, np.float32)
+        top_ks = per_row("top_k", 1, np.int32)
         first = np.array([self._last_tok[b] for b in slots], np.int32)
+        garb = self._garbage[np.asarray(slots)]
         sort_k = 100 if top_ks.max() <= 100 else 1 << int(top_ks.max() - 1).bit_length()
         self._rng, sub = jax.random.split(self._rng)
         toks, self.cache = self._decode_chunk_compact(
             self.params, self.cache, jnp.asarray(first), sub,
             jnp.asarray(real),
             (jnp.asarray(temps), jnp.asarray(tops), jnp.asarray(top_ks)),
-            jnp.asarray(slots, dtype=jnp.int32), n, sort_k,
+            jnp.asarray(slots, dtype=jnp.int32), jnp.asarray(garb),
+            n, sort_k, full_batch=full,
         )
         toks = np.asarray(toks)  # (PB, n)
         out = started
-        for i, b in enumerate(active):
+        for b in active:
+            i = rows[b]
             prev_pending = int(self._last_tok[b])
             res = self._consume_slot_tokens(b, toks[i], n)
             out.append(res)
@@ -366,57 +433,68 @@ class PagedServingEngine(ServingEngine):
         for slot_idx, slot in enumerate(self.slots):
             if slot.request is not None or not self.queue:
                 continue
-            req = self.queue[0]
-            ids = self._sliced_prompt(req)
-            shared, shared_tokens = (
-                self._match_prefix(ids) if self.prefix_cache else ([], 0))
-            fresh_needed = self._pages_needed(req) - len(shared)
-            # retain BEFORE _alloc: its LRU eviction could otherwise free
-            # the very pages just matched
-            self._retain(shared)
-            fresh = self._alloc(max(fresh_needed, 0))
-            if fresh is None:
-                self._release(shared)
-                if self.logger:
-                    self.logger.log("admit_wait", req_id=req.req_id,
-                                    pages_needed=fresh_needed,
-                                    pages_free=len(self._free_pages))
+            if not self._try_admit(slot_idx, self.queue[0]):
                 return  # backpressure: wait for finishes to free pages
-            pages = shared + fresh
-            self._slot_pages[slot_idx] = pages
-            row = np.zeros((self.cache.page_table.shape[1],), np.int32)
-            row[: len(pages)] = pages
-            self.cache = self.cache.replace(
-                page_table=self.cache.page_table.at[slot_idx].set(
-                    jnp.asarray(row))
-            )
             self.queue.pop(0)
-            if self.speculative_k:
-                row = np.zeros((self.max_seq_len,), np.int32)
-                row[: len(ids)] = ids
-                self._tokbuf = self._tokbuf.at[slot_idx].set(jnp.asarray(row))
-            if shared_tokens:
-                self.stats["prefix_hits"] += 1
-                self.stats["prefix_tokens_reused"] += shared_tokens
-                if self.logger:
-                    self.logger.log("prefix_hit", req_id=req.req_id,
-                                    tokens=shared_tokens, pages=len(shared))
-            if self.prefill_chunk_size is not None:
-                self._assign_chunked(slot_idx, req)
-                # resume prefill after the reused prefix (page-aligned)
-                self.slots[slot_idx].pending_pos = shared_tokens
-                self._host_lengths[slot_idx] = shared_tokens
-                self.cache = self.cache.replace(
-                    lengths=self.cache.lengths.at[slot_idx].set(shared_tokens))
-            else:
-                self._admit_into_slot(slot_idx, req)
+
+    def _try_admit(self, slot_idx: int, req) -> bool:
+        """Allocate pages from the slot's group and start the request in
+        ``slot_idx``; False (nothing changed) if the group's pool cannot
+        satisfy it."""
+        group = self._slot_group(slot_idx)
+        ids = self._sliced_prompt(req)
+        shared, shared_tokens = (
+            self._match_prefix(ids, group) if self.prefix_cache else ([], 0))
+        fresh_needed = self._pages_needed(req) - len(shared)
+        # retain BEFORE _alloc: its LRU eviction could otherwise free
+        # the very pages just matched
+        self._retain(shared)
+        fresh = self._alloc(max(fresh_needed, 0), group)
+        if fresh is None:
+            self._release(shared)
+            if self.logger:
+                self.logger.log("admit_wait", req_id=req.req_id,
+                                group=group, pages_needed=fresh_needed,
+                                pages_free=len(self._free[group]))
+            return False
+        pages = shared + fresh
+        self._slot_pages[slot_idx] = pages
+        row = np.full((self.cache.page_table.shape[1],),
+                      self._garbage[slot_idx], np.int32)
+        row[: len(pages)] = pages
+        self.cache = self.cache.replace(
+            page_table=self.cache.page_table.at[slot_idx].set(
+                jnp.asarray(row))
+        )
+        if self.speculative_k:
+            row = np.zeros((self.max_seq_len,), np.int32)
+            row[: len(ids)] = ids
+            self._tokbuf = self._tokbuf.at[slot_idx].set(jnp.asarray(row))
+        if shared_tokens:
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_tokens_reused"] += shared_tokens
+            if self.logger:
+                self.logger.log("prefix_hit", req_id=req.req_id,
+                                tokens=shared_tokens, pages=len(shared))
+        if self.prefill_chunk_size is not None:
+            self._assign_chunked(slot_idx, req)
+            # resume prefill after the reused prefix (page-aligned)
+            self.slots[slot_idx].pending_pos = shared_tokens
+            self._host_lengths[slot_idx] = shared_tokens
+            self.cache = self.cache.replace(
+                lengths=self.cache.lengths.at[slot_idx].set(shared_tokens))
+        else:
+            self._admit_into_slot(slot_idx, req)
+        return True
 
     def _maybe_finish(self, slot_idx: int):
         super()._maybe_finish(slot_idx)
         if self.slots[slot_idx].request is None and self._slot_pages.get(slot_idx):
             self._release(self._slot_pages.pop(slot_idx))
             # reset the table row so a recycled page can't be written through
-            # a stale mapping (inactive-slot chunk writes must hit page 0)
+            # a stale mapping (inactive-slot chunk writes must hit the
+            # owning group's garbage page)
             self.cache = self.cache.replace(
-                page_table=self.cache.page_table.at[slot_idx].set(0)
+                page_table=self.cache.page_table.at[slot_idx].set(
+                    int(self._garbage[slot_idx]))
             )
