@@ -155,9 +155,6 @@ class DistributedPagedServingEngine(PagedServingEngine):
         assert max_batch % self.n_data == 0, (
             f"max_batch {max_batch} must divide over data axis {self.n_data}"
         )
-        assert kwargs.get("speculative_k", 0) == 0, (
-            "speculative decoding is single-host only (compact batches)"
-        )
         self.mesh = mesh
         if rt is None:
             rt = TpuRuntimeConfig(mesh=mesh)

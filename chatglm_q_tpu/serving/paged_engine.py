@@ -288,18 +288,23 @@ class PagedServingEngine(ServingEngine):
             return toks.T, cache.replace(
                 k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
-        @partial(jax.jit, static_argnames=("n", "k", "ngram"),
+        @partial(jax.jit, static_argnames=("n", "k", "ngram", "full_batch"),
                  donate_argnums=(1, 2))
         def _spec_chunk_compact(params, cache, tokbuf, first_tok, real, slots,
-                                n, k, ngram):
+                                garb, n, k, ngram, full_batch=False):
             # compact speculative chunk: models/spec_decode.py loop over the
-            # active slots' rows (padding rows: zeroed tables/lengths)
+            # active slots' rows (padding rows: garbage tables, length 0);
+            # full_batch as in _decode_chunk_compact (distributed engine)
             from ..models import spec_decode as SD
 
-            pt_rows = jnp.take(cache.page_table, slots, axis=0)
-            pt_rows = jnp.where(real[:, None], pt_rows, 0)
-            lens = jnp.where(real, jnp.take(cache.lengths, slots), 0)
-            tb = jnp.take(tokbuf, slots, axis=0)
+            if full_batch:
+                pt_rows, lens_src, tb = cache.page_table, cache.lengths, tokbuf
+            else:
+                pt_rows = jnp.take(cache.page_table, slots, axis=0)
+                lens_src = jnp.take(cache.lengths, slots)
+                tb = jnp.take(tokbuf, slots, axis=0)
+            pt_rows = jnp.where(real[:, None], pt_rows, garb[:, None])
+            lens = jnp.where(real, lens_src, 0)
             sub = PK.PagedKVCache(
                 k_pool=cache.k_pool, v_pool=cache.v_pool,
                 page_table=pt_rows, lengths=lens.astype(jnp.int32),
@@ -308,12 +313,16 @@ class PagedServingEngine(ServingEngine):
                 params, self.mc, first_tok, sub, tb, n, k, ngram,
                 qt, self.dtype, self.rt,
             )
-            new_lengths = cache.lengths
-            for i in range(slots.shape[0]):
-                new_lengths = new_lengths.at[slots[i]].set(
-                    jnp.where(real[i], sub.lengths[i], new_lengths[slots[i]]))
-                tokbuf = tokbuf.at[slots[i]].set(
-                    jnp.where(real[i], tb[i], tokbuf[slots[i]]))
+            if full_batch:
+                new_lengths = jnp.where(real, sub.lengths, cache.lengths)
+                tokbuf = jnp.where(real[:, None], tb, tokbuf)
+            else:
+                new_lengths = cache.lengths
+                for i in range(slots.shape[0]):
+                    new_lengths = new_lengths.at[slots[i]].set(
+                        jnp.where(real[i], sub.lengths[i], new_lengths[slots[i]]))
+                    tokbuf = tokbuf.at[slots[i]].set(
+                        jnp.where(real[i], tb[i], tokbuf[slots[i]]))
             cache = cache.replace(k_pool=sub.k_pool, v_pool=sub.v_pool,
                                   lengths=new_lengths)
             return drafts, accepts, nexts, cache, tokbuf
@@ -349,7 +358,7 @@ class PagedServingEngine(ServingEngine):
             rows = {b: i for i, b in enumerate(active)}
         reqs = [self.slots[b].request for b in active]
         if self.speculative_k and all(r.temperature == 0 for r in reqs):
-            return self._spec_step(started, active, slots, real, n)
+            return self._spec_step(started, active, slots, real, n, rows, full)
 
         def per_row(attr, default, dtype):
             return np.array(
@@ -393,16 +402,21 @@ class PagedServingEngine(ServingEngine):
         self.stats["decode_chunks"] += 1
         return out
 
-    def _spec_step(self, started, active, slots, real, n):
+    def _spec_step(self, started, active, slots, real, n, rows=None, full=False):
+        garb = self._garbage[np.asarray(slots)]
         drafts, accepts, nexts, self.cache, self._tokbuf =             self._spec_chunk_compact(
                 self.params, self.cache, self._tokbuf,
                 jnp.asarray([self._last_tok[b] for b in slots], jnp.int32),
                 jnp.asarray(real), jnp.asarray(slots, dtype=jnp.int32),
-                n, self.speculative_k, self.speculative_ngram,
+                jnp.asarray(garb), n, self.speculative_k,
+                self.speculative_ngram, full_batch=full,
             )
         drafts, accepts, nexts = map(np.asarray, (drafts, accepts, nexts))
         out = started
-        for i, b in enumerate(active):
+        if rows is None:
+            rows = {b: i for i, b in enumerate(active)}
+        for b in active:
+            i = rows[b]
             row = []
             for s in range(n):
                 a = int(accepts[s, i])

@@ -171,6 +171,35 @@ def test_dist_paged_prefix_affinity(params):
     assert deng.stats["prefix_tokens_reused"] == 16
 
 
+def test_dist_paged_speculative_exact(params):
+    """In-graph prompt-lookup speculation under the distributed full-batch
+    decode: greedy tokens must equal the dense single-host engine's, with
+    measurable acceptance."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+
+    rng = np.random.RandomState(15)
+    # low-entropy prompts so n-gram drafting actually accepts
+    prompts = [rng.randint(3, 40, size=n).tolist() for n in (18, 7, 12, 9)]
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+
+    dense = ServingEngine(load_cfg, params, None, max_batch=4, max_seq_len=64,
+                          decode_chunk=4,
+                          rt=TpuRuntimeConfig(use_pallas=False))
+    for p in prompts:
+        dense.submit(p, max_new_tokens=16, temperature=0.0)
+    want = _drain(dense)
+
+    mesh = S.make_mesh(2, 4)
+    with mesh:
+        deng = _make_dist(params, mesh, speculative_k=4, speculative_ngram=2,
+                          num_pages=24)
+        deng.sync_submissions(prompts, max_new_tokens=16, temperature=0.0)
+        got = _drain(deng)
+    assert got == want, (got, want)
+    assert deng.stats["spec_accepted"] > 0, deng.stats
+    assert deng.pages_in_use == 0
+
+
 def test_dist_paged_backpressure_per_group(params):
     """A saturated group must defer admission (backpressure) while other
     requests continue; pages recycle and the queue drains fully."""
