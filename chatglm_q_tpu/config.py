@@ -130,6 +130,13 @@ class TpuRuntimeConfig:
     # partials (ops/pallas_attention.flash_attention_decode_kv_tsharded).
     # Prefill then uses the XLA attention path (GSPMD-partitioned).
     kv_shard_t: bool = False
+    # Shard the paged KV pool's physical-page dim over BOTH mesh axes
+    # (requires mesh): per-chip pool HBM and KV reads/token drop tp× vs the
+    # data-only pool sharding.  Logical page j of a row lives on model chip
+    # j % tp (the distributed paged engine's allocator guarantees this);
+    # decode merges the tp strided partials exactly
+    # (ops/pallas_attention.flash_attention_decode_paged_msharded).
+    paged_shard_model: bool = False
     # O(length)-DMA ragged decode kernel (flash_attention_decode_v2):
     # manual double-buffered HBM reads with a dynamic trip count, enabled by
     # the (L, B, G, T, D) cache layout's contiguous per-group rows.

@@ -344,7 +344,12 @@ def block_forward(
                 )
             attn_in_tap = ctx.reshape(B, S, G * Hg * D)
         else:  # flash_decode: S == 1
-            if paged and rt.mesh is not None:
+            if paged and rt.mesh is not None and rt.paged_shard_model:
+                ctx = PA.flash_attention_decode_paged_msharded(
+                    q[:, 0], kv_out[0], kv_out[1], kv_write.layer_idx,
+                    kv_write.page_table, lengths, sm_scale, rt.mesh,
+                )
+            elif paged and rt.mesh is not None:
                 ctx = PA.flash_attention_decode_paged_sharded(
                     q[:, 0], kv_out[0], kv_out[1], kv_write.layer_idx,
                     kv_write.page_table, lengths, sm_scale, rt.mesh,

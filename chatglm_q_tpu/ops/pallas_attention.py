@@ -525,13 +525,23 @@ def flash_attention_decode_v2(
 # materializes a layer slab copy.
 # ---------------------------------------------------------------------------
 
-def _decode_paged_kernel(lengths_ref, layer_ref, pt_ref, q_ref, k_hbm, v_hbm,
-                         o_ref, kbuf, vbuf, sems, *, p, hg, d):
+def _decode_paged_kernel(lengths_ref, layer_ref, phase_ref, pt_ref, q_ref,
+                         k_hbm, v_hbm, o_ref, *rest, p, hg, d, stride=1,
+                         return_lse=False):
+    if return_lse:
+        m_out, l_out, kbuf, vbuf, sems = rest
+    else:
+        kbuf, vbuf, sems = rest
     b = pl.program_id(0)
     g = pl.program_id(1)
     lyr = layer_ref[0]
+    phase = phase_ref[0]
     n_valid = lengths_ref[b] + 1
-    n_pages = jax.lax.div(n_valid + p - 1, p)
+    n_pages_row = jax.lax.div(n_valid + p - 1, p)
+    # this device's local blocks i cover logical blocks i*stride + phase;
+    # stride == 1 (phase 0) is the unsharded path
+    n_pages = jnp.maximum(0, jax.lax.div(n_pages_row - phase + stride - 1,
+                                         stride))
 
     def dmas(slot, blk):
         phys = pt_ref[b, blk]
@@ -540,8 +550,12 @@ def _decode_paged_kernel(lengths_ref, layer_ref, pt_ref, q_ref, k_hbm, v_hbm,
             pltpu.make_async_copy(v_hbm.at[lyr, phys, g], vbuf.at[slot], sems.at[slot, 1]),
         )
 
-    for dma in dmas(0, 0):
-        dma.start()
+    # start the first DMA only when there is a block to read — an unawaited
+    # start would leak a semaphore increment into the next grid program
+    @pl.when(n_pages > 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (Hg, D)
 
@@ -562,7 +576,8 @@ def _decode_paged_kernel(lengths_ref, layer_ref, pt_ref, q_ref, k_hbm, v_hbm,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk * p
+        cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + (blk * stride + phase) * p)
         s = jnp.where(cols < n_valid, s, MASK_VALUE)
 
         m_curr = jnp.max(s, axis=1, keepdims=True)
@@ -578,8 +593,11 @@ def _decode_paged_kernel(lengths_ref, layer_ref, pt_ref, q_ref, k_hbm, v_hbm,
     l0 = jnp.zeros((hg, 1), jnp.float32)
     acc0 = jnp.zeros((hg, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
-    l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    ls = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / ls).astype(o_ref.dtype)
+    if return_lse:
+        m_out[0, 0] = jnp.broadcast_to(m, m_out.shape[2:])
+        l_out[0, 0] = jnp.broadcast_to(l, l_out.shape[2:])
 
 
 def flash_attention_decode_paged(
@@ -591,7 +609,10 @@ def flash_attention_decode_paged(
     lengths: jax.Array,     # (B,) int32 — cache length BEFORE this token
     sm_scale: float,
     interpret: bool | None = None,
-) -> jax.Array:
+    stride: int = 1,
+    phase: jax.Array | None = None,
+    return_lse: bool = False,
+):
     """Ragged decode attention over a paged KV pool.
 
     Row b attends logical positions 0..lengths[b]; position t lives at
@@ -601,6 +622,13 @@ def flash_attention_decode_paged(
     Semantics match :func:`flash_attention_decode` over the gathered cache
     (tests/test_paged.py).  Replaces the reference's per-step concat cache
     (model.py:151-155) for many-slot serving.
+
+    With ``stride``/``phase``, ``page_table`` column i maps LOGICAL block
+    ``i*stride + phase`` (a strided local view — the model-axis pool
+    sharding of :func:`flash_attention_decode_paged_msharded`); masking
+    uses the logical positions, and ``return_lse`` additionally returns the
+    online-softmax running (m, l) (each (B, G, Hg)) for the exact
+    cross-device merge.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -609,25 +637,38 @@ def flash_attention_decode_paged(
 
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     lyr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    if phase is None:
+        phase = jnp.zeros((1,), jnp.int32)
+    phase = jnp.asarray(phase, jnp.int32).reshape(1)
 
-    out = pl.pallas_call(
-        functools.partial(_decode_paged_kernel, p=P, hg=Hg, d=D),
+    out_specs = [pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype)]
+    if return_lse:
+        out_specs += [
+            pl.BlockSpec((1, 1, Hg, 128), lambda b, g, *_: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, Hg, 128), lambda b, g, *_: (b, g, 0, 0)),
+        ]
+        out_shapes += [jax.ShapeDtypeStruct((B, G, Hg, 128), jnp.float32)] * 2
+
+    res = pl.pallas_call(
+        functools.partial(_decode_paged_kernel, p=P, hg=Hg, d=D,
+                          stride=stride, return_lse=return_lse),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, G),
             in_specs=[
                 pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, Hg, D), lambda b, g, *_: (b, g, 0, 0)),
+            out_specs=tuple(out_specs) if return_lse else out_specs[0],
             scratch_shapes=[
                 pltpu.VMEM((2, P, D), k_pool.dtype),
                 pltpu.VMEM((2, P, D), v_pool.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
+        out_shape=tuple(out_shapes) if return_lse else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             # (B, G) programs are fully independent (per-row, per-group
             # online softmax over disjoint cache slices) — both parallel, so
@@ -635,9 +676,12 @@ def flash_attention_decode_paged(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), lyr, page_table.astype(jnp.int32),
+    )(lengths.astype(jnp.int32), lyr, phase, page_table.astype(jnp.int32),
       qs, k_pool, v_pool)
-    return out
+    if return_lse:
+        out, m, l = res
+        return out, m[..., 0], l[..., 0]
+    return res
 
 
 def flash_attention_decode_paged_sharded(
@@ -694,6 +738,85 @@ def flash_attention_decode_paged_sharded(
             P(data_axis),
         ),
         out_specs=P(data_axis, None, model_axis, None),
+        check_vma=False,
+    )
+    return fn(q, k_pool, v_pool, lyr, page_table.astype(jnp.int32),
+              lengths.astype(jnp.int32))
+
+
+def flash_attention_decode_paged_msharded(
+    q, k_pool, v_pool, layer_idx, page_table, lengths, sm_scale, mesh,
+    data_axis="data", model_axis="model", interpret=None,
+):
+    """Paged ragged decode over a pool sharded over BOTH mesh axes.
+
+    The pool's physical-page dim shards over the flattened (data, model)
+    axes — per-chip pool HBM is NP/(nd·tp) pages, tp× less than the
+    data-only sharding of :func:`flash_attention_decode_paged_sharded`, and
+    per-chip KV reads/token drop tp× (the same economics as the dense
+    T-sharded cache, :func:`flash_attention_decode_kv_tsharded`, at paged
+    memory scaling).  LOGICAL block j of a row lives on model chip
+    ``j % tp`` of its data group (the engine allocator guarantees this;
+    serving/dist_engine.py), so each model chip attends a strided view of
+    the row — local block i ↔ logical block ``i*tp + phase`` — and the tp
+    partial online-softmax states merge exactly by log-sum-exp over an
+    all-gather.  q is replicated over ``model`` (per-chip work Hg × T/tp =
+    the head-sharded kernel's Hg/tp × T; KV traffic is what shrinks).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    nd = sizes.get(data_axis, 1)
+    tp = sizes.get(model_axis, 1)
+    B, G, Hg, D = q.shape
+    NP = k_pool.shape[1]
+    MP = page_table.shape[1]
+    if tp == 1 or B % nd or NP % (nd * tp):
+        return flash_attention_decode_paged_sharded(
+            q, k_pool, v_pool, layer_idx, page_table, lengths, sm_scale,
+            mesh, data_axis, model_axis, interpret=interpret,
+        )
+    sp = NP // (nd * tp)
+    mp_local = -(-MP // tp)
+    lyr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    def local_fn(q, kp, vp, lyr, pt, lens):
+        di = jax.lax.axis_index(data_axis)
+        mi = jax.lax.axis_index(model_axis)
+        base = (di * tp + mi) * sp
+        # strided local view: column i ← logical block i*tp + mi.  Tail
+        # columns past MP are clamped; they are never DMA'd (the kernel's
+        # local trip count keeps i*tp + mi < ceil(n_valid / P) ≤ MP).
+        idx = jnp.minimum(mi + tp * jnp.arange(mp_local), MP - 1)
+        # clip is a safety net: out-of-shard ids indicate an allocator bug
+        # (tests assert phase locality) but must not read out of bounds
+        ptl = jnp.clip(jnp.take(pt, idx, axis=1) - base, 0, sp - 1)
+        out, m, l = flash_attention_decode_paged(
+            q, kp, vp, lyr, ptl, lens, sm_scale, interpret=interpret,
+            stride=tp, phase=jnp.full((1,), mi, jnp.int32), return_lse=True,
+        )
+        m_all = jax.lax.all_gather(m, model_axis)            # (tp, B, G, Hg)
+        l_all = jax.lax.all_gather(l, model_axis)
+        o_all = jax.lax.all_gather(out.astype(jnp.float32), model_axis)
+        m_max = jnp.max(m_all, axis=0)
+        w = l_all * jnp.exp(m_all - m_max[None])             # 0 where l==0
+        den = jnp.maximum(w.sum(0), 1e-30)
+        merged = (o_all * w[..., None]).sum(0) / den[..., None]
+        return merged.astype(q.dtype)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None, None, None),
+            P(None, (data_axis, model_axis), None, None, None),
+            P(None, (data_axis, model_axis), None, None, None),
+            P(None),
+            P(data_axis, None),
+            P(data_axis),
+        ),
+        out_specs=P(data_axis, None, None, None),
         check_vma=False,
     )
     return fn(q, k_pool, v_pool, lyr, page_table.astype(jnp.int32),

@@ -146,19 +146,25 @@ def kv_cache_pspecs(shard_t: bool = False):
     )
 
 
-def paged_kv_pspecs():
+def paged_kv_pspecs(shard_model: bool = False):
     """PagedKVCache specs for the (L, NP, G, P, D) pool: physical pages
     shard over the data axis (each data shard owns NP/n_data pages — pool
     memory scales down with dp), page table and lengths shard their batch
     dim.  Pairs with the per-group page allocator
     (serving/dist_engine.DistributedPagedServingEngine), which keeps every
     row's pages on its owning shard, and with
-    ops/pallas_attention.flash_attention_decode_paged_sharded."""
+    ops/pallas_attention.flash_attention_decode_paged_sharded.
+
+    With ``shard_model`` the page dim shards over the flattened
+    (data, model) axes — per-chip pool HBM ÷ tp again, logical page j on
+    model chip j % tp (the phase-aware allocator's layout), decode via
+    flash_attention_decode_paged_msharded."""
     from ..models.paged_kv import PagedKVCache
 
+    pool_ax = (DATA_AXIS, MODEL_AXIS) if shard_model else DATA_AXIS
     return PagedKVCache(
-        k_pool=P(None, DATA_AXIS, None, None, None),
-        v_pool=P(None, DATA_AXIS, None, None, None),
+        k_pool=P(None, pool_ax, None, None, None),
+        v_pool=P(None, pool_ax, None, None, None),
         page_table=P(DATA_AXIS, None),
         lengths=P(DATA_AXIS),
     )

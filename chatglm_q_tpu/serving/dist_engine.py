@@ -135,6 +135,14 @@ class DistributedPagedServingEngine(PagedServingEngine):
     Decode runs FULL-batch (``_full_batch_decode``): the slot→shard mapping
     is static, so there is no compacting row gather that GSPMD would have
     to implement as a cross-shard all-to-all.
+
+    ``shard_model_pages=True`` additionally shards the pool's page dim over
+    the model axis (per-chip pool HBM and KV reads/token ÷ tp on top of the
+    ÷ dp): logical page j of a row lives on model chip ``j % tp`` (the
+    phase-aware allocator, paged_engine.py), and decode merges the tp
+    strided partials exactly via log-sum-exp
+    (flash_attention_decode_paged_msharded) — the paged counterpart of the
+    dense T-sharded cache (``kv_shard_t``) for long-context serving.
     """
 
     _full_batch_decode = True
@@ -148,6 +156,7 @@ class DistributedPagedServingEngine(PagedServingEngine):
         mesh: Mesh,
         max_batch: int = 8,
         rt: Optional[TpuRuntimeConfig] = None,
+        shard_model_pages: bool = False,
         **kwargs,
     ):
         sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -156,18 +165,30 @@ class DistributedPagedServingEngine(PagedServingEngine):
             f"max_batch {max_batch} must divide over data axis {self.n_data}"
         )
         self.mesh = mesh
+        # shard_model_pages: the pool's page dim shards over (data, model)
+        # instead of data only — per-chip pool HBM and KV reads/token ÷ tp.
+        # The allocator becomes phase-aware (n_phase sub-pools per group:
+        # logical page j from phase j % tp) and decode dispatches to
+        # flash_attention_decode_paged_msharded (exact strided-partial
+        # log-sum-exp merge over the model axis).
+        self.n_phase = sizes.get(S.MODEL_AXIS, 1) if shard_model_pages else 1
+        self._shard_model_pages = shard_model_pages and self.n_phase > 1
         if rt is None:
             rt = TpuRuntimeConfig(mesh=mesh)
+        if self._shard_model_pages and not rt.paged_shard_model:
+            import dataclasses
+
+            rt = dataclasses.replace(rt, paged_shard_model=True)
         super().__init__(config, params, tokenizer, max_batch=max_batch,
                          rt=rt, **kwargs)
-        # unadmitted rows point at their OWN group's garbage page from the
-        # start (init zeros would alias every row to shard 0's page 0,
+        # unadmitted rows point at their OWN sub-pool's garbage page from
+        # the start (init zeros would alias every row to shard 0's page 0,
         # making inactive-slot writes cross-shard traffic under GSPMD)
         self.cache = self.cache.replace(
-            page_table=jnp.asarray(np.broadcast_to(
-                self._garbage[:, None], self.cache.page_table.shape)))
+            page_table=jnp.asarray(self._garbage))
         pool_shardings = jax.tree.map(
-            lambda spec: NamedSharding(mesh, spec), S.paged_kv_pspecs()
+            lambda spec: NamedSharding(mesh, spec),
+            S.paged_kv_pspecs(shard_model=self._shard_model_pages),
         )
         self.cache = jax.tree.map(jax.device_put, self.cache, pool_shardings)
 

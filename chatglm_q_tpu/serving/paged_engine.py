@@ -54,11 +54,19 @@ class PagedServingEngine(ServingEngine):
         # page-pool allocation is per GROUP: the single-host engine is one
         # group; the distributed engine (dist_engine.py) sets n_data before
         # this runs, partitioning pages and slots into data-shard groups so
-        # a row's pages always live on its owning shard
+        # a row's pages always live on its owning shard.  With the pool
+        # additionally sharded over the model axis (n_phase > 1,
+        # shard_model_pages), each group subdivides into n_phase PHASE
+        # sub-pools: logical page j of a row must come from phase j % tp
+        # (that chip's strided slice of the row — the msharded decode
+        # kernel reads only phase-local pages).
         self._n_groups = getattr(self, "n_data", 1)
-        assert num_pages % self._n_groups == 0, (num_pages, self._n_groups)
+        self._n_phase = getattr(self, "n_phase", 1)
+        n_subs = self._n_groups * self._n_phase
+        assert num_pages % n_subs == 0, (num_pages, n_subs)
         self._group_pages = num_pages // self._n_groups
-        assert self._group_pages >= 2, "each group needs a garbage page + 1"
+        self._sub_pages = num_pages // n_subs
+        assert self._sub_pages >= 2, "each sub-pool needs a garbage page + 1"
         super().__init__(config, params, tokenizer, **kwargs)
         if self.prefill_chunk_size is not None:
             assert self.prefill_chunk_size % page_size == 0, (
@@ -68,10 +76,15 @@ class PagedServingEngine(ServingEngine):
             # is exactly the chunked-prefill entry point
             assert self.prefill_chunk_size is not None, (
                 "prefix_cache requires prefill_chunk_size")
-        # each group's FIRST page is its reserved garbage page (inactive
-        # slots write there); the single-group engine's is physical page 0
+        # each (group, phase) sub-pool's FIRST page is its reserved garbage
+        # page (inactive slots write there); the single-group engine's is
+        # physical page 0
         self._free = [
-            list(range(g * self._group_pages + 1, (g + 1) * self._group_pages))
+            [
+                list(range((g * self._n_phase + m) * self._sub_pages + 1,
+                           (g * self._n_phase + m + 1) * self._sub_pages))
+                for m in range(self._n_phase)
+            ]
             for g in range(self._n_groups)
         ]
         self._slot_pages: dict[int, list[int]] = {}
@@ -85,9 +98,13 @@ class PagedServingEngine(ServingEngine):
         self._prefix_lrus: list["OrderedDict[tuple, list[int]]"] = [
             OrderedDict() for _ in range(self._n_groups)
         ]
-        # per-slot garbage page id (the owning group's reserved page)
+        # per-slot garbage PATTERN (max_batch, MP): logical block j of an
+        # inactive row points at the garbage page of its own (group,
+        # j % n_phase) sub-pool — writes stay shard-local on every axis
+        mp = self.cache.page_table.shape[1]
         self._garbage = np.array(
-            [self._slot_group(b) * self._group_pages
+            [[(self._slot_group(b) * self._n_phase + j % self._n_phase)
+              * self._sub_pages for j in range(mp)]
              for b in range(self.max_batch)], np.int32)
         self.stats.update(prefix_hits=0, prefix_tokens_reused=0,
                           spec_accepted=0, spec_steps=0)
@@ -114,8 +131,8 @@ class PagedServingEngine(ServingEngine):
 
     @property
     def _free_pages(self) -> list:
-        """All free pages across groups (introspection/tests)."""
-        return [p for fl in self._free for p in fl]
+        """All free pages across groups/phases (introspection/tests)."""
+        return [p for g in self._free for fl in g for p in fl]
 
     # -- page refcounting ------------------------------------------------
 
@@ -128,22 +145,32 @@ class PagedServingEngine(ServingEngine):
             self._page_refs[p] -= 1
             if self._page_refs[p] == 0:
                 del self._page_refs[p]
-                self._free[p // self._group_pages].append(p)
+                g, m = divmod(p // self._sub_pages, self._n_phase)
+                self._free[g][m].append(p)
 
-    def _alloc(self, n: int, group: int = 0):
-        """Take n fresh pages from ``group``'s pool (ref 1 each), evicting
-        the group's LRU prefix entries under pressure; None if the group
-        cannot satisfy the request."""
-        free, lru = self._free[group], self._prefix_lrus[group]
-        while len(free) < n and lru:
+    def _alloc(self, n: int, group: int = 0, start_block: int = 0):
+        """Take n fresh pages from ``group``'s pool (ref 1 each) for the
+        row's logical blocks ``start_block..start_block+n-1`` — block j
+        draws from phase sub-pool ``j % n_phase`` (single-phase engines:
+        one sub-pool, plain allocation) — evicting the group's LRU prefix
+        entries under pressure; None if the group cannot satisfy it."""
+        frees, lru = self._free[group], self._prefix_lrus[group]
+        phases = [(start_block + i) % self._n_phase for i in range(n)]
+        need = [phases.count(m) for m in range(self._n_phase)]
+
+        def shortage():
+            return any(len(frees[m]) < need[m]
+                       for m in range(self._n_phase))
+
+        while shortage() and lru:
             key, pages = lru.popitem(last=False)
             self._release(pages)
             if self.logger:
                 self.logger.log("prefix_evict", tokens=len(key),
                                 pages=len(pages))
-        if len(free) < n:
+        if shortage():
             return None
-        pages = [free.pop() for _ in range(n)]
+        pages = [frees[m].pop() for m in phases]
         self._retain(pages)
         return pages
 
@@ -255,7 +282,7 @@ class PagedServingEngine(ServingEngine):
             else:
                 pt_rows = jnp.take(cache.page_table, slots, axis=0)
                 lens_src = jnp.take(cache.lengths, slots)
-            pt_rows = jnp.where(real[:, None], pt_rows, garb[:, None])
+            pt_rows = jnp.where(real[:, None], pt_rows, garb)
             lens = jnp.where(real, lens_src, 0)
             sub = PK.PagedKVCache(
                 k_pool=cache.k_pool, v_pool=cache.v_pool,
@@ -303,7 +330,7 @@ class PagedServingEngine(ServingEngine):
                 pt_rows = jnp.take(cache.page_table, slots, axis=0)
                 lens_src = jnp.take(cache.lengths, slots)
                 tb = jnp.take(tokbuf, slots, axis=0)
-            pt_rows = jnp.where(real[:, None], pt_rows, garb[:, None])
+            pt_rows = jnp.where(real[:, None], pt_rows, garb)
             lens = jnp.where(real, lens_src, 0)
             sub = PK.PagedKVCache(
                 k_pool=cache.k_pool, v_pool=cache.v_pool,
@@ -463,18 +490,18 @@ class PagedServingEngine(ServingEngine):
         # retain BEFORE _alloc: its LRU eviction could otherwise free
         # the very pages just matched
         self._retain(shared)
-        fresh = self._alloc(max(fresh_needed, 0), group)
+        fresh = self._alloc(max(fresh_needed, 0), group,
+                            start_block=len(shared))
         if fresh is None:
             self._release(shared)
             if self.logger:
                 self.logger.log("admit_wait", req_id=req.req_id,
                                 group=group, pages_needed=fresh_needed,
-                                pages_free=len(self._free[group]))
+                                pages_free=sum(len(f) for f in self._free[group]))
             return False
         pages = shared + fresh
         self._slot_pages[slot_idx] = pages
-        row = np.full((self.cache.page_table.shape[1],),
-                      self._garbage[slot_idx], np.int32)
+        row = self._garbage[slot_idx].copy()
         row[: len(pages)] = pages
         self.cache = self.cache.replace(
             page_table=self.cache.page_table.at[slot_idx].set(
@@ -510,5 +537,5 @@ class PagedServingEngine(ServingEngine):
             # owning group's garbage page)
             self.cache = self.cache.replace(
                 page_table=self.cache.page_table.at[slot_idx].set(
-                    int(self._garbage[slot_idx]))
+                    jnp.asarray(self._garbage[slot_idx]))
             )

@@ -48,9 +48,10 @@ def _make_dist(params, mesh, **kw):
     kw.setdefault("num_pages", 16)
     kw.setdefault("page_size", 8)
     kw.setdefault("prefill_chunk_size", 8)
+    kw.setdefault("rt", TpuRuntimeConfig(use_pallas=False, mesh=mesh))
     return DistributedPagedServingEngine(
         load_cfg, S.shard_params(params, mesh, CFG, "none"), None,
-        mesh=mesh, rt=TpuRuntimeConfig(use_pallas=False, mesh=mesh), **kw,
+        mesh=mesh, **kw,
     )
 
 
@@ -213,4 +214,117 @@ def test_dist_paged_backpressure_per_group(params):
         out = _drain(deng)
     assert len(out) == 6
     assert deng.pages_in_use == 0
-    assert sorted(len(f) for f in deng._free) == [7, 7]
+    assert sorted(sum(len(f) for f in g) for g in deng._free) == [7, 7]
+
+
+# ---------------------------------------------------------------------------
+# Model-axis pool sharding (shard_model_pages): the page dim shards over
+# (data, model) — per-chip pool HBM ÷ dp·tp — with logical page j of a row
+# on model chip j % tp and an exact strided-partial log-sum-exp merge.
+# ---------------------------------------------------------------------------
+
+
+def test_paged_msharded_kernel_vs_unsharded():
+    """flash_attention_decode_paged_msharded must equal the plain paged
+    kernel when pages follow the phase layout (logical block j in sub-pool
+    (group, j % tp)) — strided local views + LSE merge are exact."""
+    from chatglm_q_tpu.ops.pallas_attention import (
+        flash_attention_decode_paged, flash_attention_decode_paged_msharded)
+
+    rng = np.random.RandomState(13)
+    L, NP, G, P, D, Hg, B, MP = 2, 16, 2, 8, 32, 4, 4, 4
+    nd, tp = 2, 4
+    sp = NP // (nd * tp)  # 2 pages per (data, model) chip
+    pool_k = jnp.asarray(rng.randn(L, NP, G, P, D), jnp.float32)
+    pool_v = jnp.asarray(rng.randn(L, NP, G, P, D), jnp.float32)
+    # row r in data group r // 2; logical block j at phase j % tp, page
+    # (g*tp + j%tp)*sp + (r % 2): distinct page per (row, block)
+    pt = np.zeros((B, MP), np.int32)
+    for r in range(B):
+        g = r // 2
+        for j in range(MP):
+            pt[r, j] = (g * tp + j % tp) * sp + (r % 2)
+    pt = jnp.asarray(pt)
+    q = jnp.asarray(rng.randn(B, G, Hg, D), jnp.float32)
+    lengths = jnp.asarray([5, 17, 0, 31], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    mesh = S.make_mesh(nd, tp)
+    for layer in range(L):
+        want = flash_attention_decode_paged(
+            q, pool_k, pool_v, jnp.int32(layer), pt, lengths, sm,
+            interpret=True)
+        with mesh:
+            got = flash_attention_decode_paged_msharded(
+                q, pool_k, pool_v, jnp.int32(layer), pt, lengths, sm, mesh,
+                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_dist_paged_msharded_engine_token_exact(params):
+    """shard_model_pages end-to-end: phase-aware allocation + (data, model)-
+    sharded pool + msharded decode, token-exact vs the single-host dense
+    engine; every allocated page must sit in its block's phase sub-pool."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+
+    rng = np.random.RandomState(21)
+    prompts = [rng.randint(3, 900, size=n).tolist() for n in (19, 4, 26, 9)]
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+
+    dense = ServingEngine(load_cfg, params, None, max_batch=4, max_seq_len=64,
+                          decode_chunk=4,
+                          rt=TpuRuntimeConfig(use_pallas=False))
+    for p in prompts:
+        dense.submit(p, max_new_tokens=6, temperature=0.0)
+    want = _drain(dense)
+
+    mesh = S.make_mesh(2, 4)
+    with mesh:
+        deng = _make_dist(params, mesh, shard_model_pages=True, num_pages=24)
+        assert deng._n_phase == 4 and deng._sub_pages == 3
+        deng.sync_submissions(prompts, max_new_tokens=6, temperature=0.0)
+        # step once so slots admit, then check phase locality of every
+        # allocated page: block j of a group-g row ← sub-pool (g, j % tp)
+        deng.step()
+        assert deng._slot_pages, "nothing admitted"
+        for slot_idx, pages in deng._slot_pages.items():
+            g = deng._slot_group(slot_idx)
+            for j, p in enumerate(pages):
+                sub = p // deng._sub_pages
+                assert sub == g * deng._n_phase + j % deng._n_phase, (
+                    slot_idx, j, p)
+                assert p % deng._sub_pages != 0, (slot_idx, p)  # not garbage
+        got = _drain(deng)
+    assert got == want, (got, want)
+    assert deng.pages_in_use == 0
+
+
+def test_dist_paged_msharded_flash_engine_token_exact(params):
+    """Same, but through the interpret-mode flash kernels — the engine's
+    decode hot path actually runs flash_attention_decode_paged_msharded."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+
+    rng = np.random.RandomState(22)
+    prompts = [rng.randint(3, 900, size=n).tolist() for n in (11, 21)]
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+
+    dense = ServingEngine(load_cfg, params, None, max_batch=4, max_seq_len=64,
+                          decode_chunk=4,
+                          rt=TpuRuntimeConfig(use_pallas=False))
+    for p in prompts:
+        dense.submit(p, max_new_tokens=5, temperature=0.0)
+    want = _drain(dense)
+
+    mesh = S.make_mesh(2, 4)
+    with mesh:
+        deng = _make_dist(
+            params, mesh, shard_model_pages=True, num_pages=24,
+            rt=TpuRuntimeConfig(use_pallas=False, use_flash_attention=True,
+                                mesh=mesh),
+        )
+        assert deng.rt.paged_shard_model  # auto-set by the engine
+        deng.sync_submissions(prompts, max_new_tokens=5, temperature=0.0)
+        got = _drain(deng)
+    assert got == want, (got, want)
+    assert deng.pages_in_use == 0
