@@ -64,6 +64,37 @@ def find_drafts(tokbuf: jax.Array, lengths: jax.Array, ngram: int, k: int):
     return jnp.where(ok, draft, -1)
 
 
+def spec_accept_next(rng, probs, indices, draft, argm, greedy):
+    """Exact speculative acceptance at ONE position for point-mass drafts.
+
+    ``probs``/``indices`` (B, K): the row's target filtered distribution
+    (ops/sampling.top_p_filter); ``draft`` (B,) the proposed token;
+    ``argm`` (B,) the greedy argmax; ``greedy`` (B,) bool.  Sampled rows
+    accept the draft d with probability p(d) and, when this position ends
+    the cascade, emit a sample from p restricted to x ≠ d (the rejection-
+    sampling residual — for a deterministic draft q = δ_d the accepted/
+    residual mixture is EXACTLY p, so spec streams are distribution-exact);
+    greedy rows accept iff argm == draft and emit argm.  Returns
+    (accept (B,) bool, stop_next (B,) int32).
+    """
+    u_key, r_key = jax.random.split(rng)
+    is_draft = indices == draft[:, None]
+    p_d = jnp.sum(jnp.where(is_draft, probs, 0.0), axis=-1)
+    accept_s = jax.random.uniform(u_key, p_d.shape) < p_d
+    resid = jnp.where(is_draft, 0.0, probs)
+    rsum = jnp.sum(resid, axis=-1, keepdims=True)
+    # p(d) == 1 → empty residual; acceptance then fires almost surely and
+    # the (never-emitted) fallback just needs to be a valid distribution
+    resid = jnp.where(rsum > 0, resid / jnp.maximum(rsum, 1e-30),
+                      1.0 / probs.shape[-1])
+    choice = jax.random.categorical(
+        r_key, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1)
+    resample = jnp.take_along_axis(indices, choice[:, None], axis=-1)[:, 0]
+    accept = jnp.where(greedy, argm == draft, accept_s)
+    stop_next = jnp.where(greedy, argm, resample).astype(jnp.int32)
+    return accept, stop_next
+
+
 def _write_token_rows(tokbuf, seq, starts):
     """Write seq (B, S) into tokbuf (B, T) at per-row starts (unrolled)."""
     B, S = seq.shape
@@ -85,10 +116,22 @@ def speculative_decode_paged(
     quant_type: str = "none",
     dtype=jnp.bfloat16,
     rt: TpuRuntimeConfig = _DEFAULT_RT,
+    rng: jax.Array | None = None,
+    sampling=None,            # (temperature (B,), top_p (B,), top_k_limit (B,))
+    top_k: int = 100,
 ):
-    """Run ``n_steps`` in-graph verify steps (greedy).  Each step consumes
-    the carried token, writes it + its k drafts, and advances each row by
+    """Run ``n_steps`` in-graph verify steps.  Each step consumes the
+    carried token, writes it + its k drafts, and advances each row by
     ``1 + accept`` positions.
+
+    Greedy by default (rows accept exactly the step-by-step argmax
+    stream).  With ``rng`` + ``sampling``, rows with temperature > 0
+    instead run exact rejection sampling against the reference top-k/top-p
+    filter (``spec_accept_next``): the emitted stream is drawn from
+    EXACTLY the per-step sampling distribution (not bit-equal to the
+    non-speculative stream — it consumes randomness differently — but
+    distribution-identical); temperature == 0 rows keep the greedy rule,
+    so mixed batches share one program.
 
     Returns (drafts (n, B, k), accepts (n, B), nexts (n, B), cache,
     tokbuf): step s of row b emitted ``drafts[s, b, :accepts[s, b]]``
@@ -96,8 +139,13 @@ def speculative_decode_paged(
     """
     KT = k + 1
     B = first_tok.shape[0]
+    if sampling is not None:
+        assert rng is not None, "sampled speculation needs an rng"
+        temperature, top_p, top_k_limit = sampling
+        safe_t = jnp.where(temperature > 0, temperature, 1.0)
+        greedy_rows = temperature <= 0
 
-    def step(carry, _):
+    def step(carry, step_rng):
         tok, cache, tokbuf = carry
         l0 = cache.lengths
         # the pending token is part of the search history (the n-gram tail
@@ -113,12 +161,44 @@ def speculative_decode_paged(
             return_all_logits=True, page_aligned=False,
         )
         argm = jnp.argmax(all_logits, axis=-1).astype(jnp.int32)  # (B, KT)
-        eq = (argm[:, :k] == draft).astype(jnp.int32)
-        accept = jnp.cumprod(eq, axis=1).sum(axis=1)              # (B,)
-        nxt = jnp.take_along_axis(argm, accept[:, None], axis=1)[:, 0]
+        if sampling is None:
+            eq = (argm[:, :k] == draft).astype(jnp.int32)
+            accept = jnp.cumprod(eq, axis=1).sum(axis=1)          # (B,)
+            nxt = jnp.take_along_axis(argm, accept[:, None], axis=1)[:, 0]
+        else:
+            from ..ops.sampling import top_p_filter
+
+            probs, indices = top_p_filter(
+                all_logits, top_k, top_p[:, None, None],
+                safe_t[:, None, None], top_k_limit[:, None, None],
+            )                                                     # (B, KT, K)
+            accepts_i = []
+            stops_i = []
+            keys = jax.random.split(step_rng, k + 1)
+            for i in range(k):
+                a_i, s_i = spec_accept_next(
+                    keys[i], probs[:, i], indices[:, i], draft[:, i],
+                    argm[:, i], greedy_rows,
+                )
+                accepts_i.append(a_i.astype(jnp.int32))
+                stops_i.append(s_i)
+            # position k ends an all-accepted cascade: a plain draw from
+            # the filtered distribution (greedy rows: argmax)
+            logp = jnp.log(jnp.maximum(probs[:, k], 1e-30))
+            full_choice = jax.random.categorical(keys[k], logp, axis=-1)
+            full_next = jnp.take_along_axis(
+                indices[:, k], full_choice[:, None], axis=-1)[:, 0]
+            stops_i.append(jnp.where(greedy_rows, argm[:, k],
+                                     full_next).astype(jnp.int32))
+            eq = jnp.stack(accepts_i, axis=1)                     # (B, k)
+            accept = jnp.cumprod(eq, axis=1).sum(axis=1)          # (B,)
+            nxt = jnp.take_along_axis(
+                jnp.stack(stops_i, axis=1), accept[:, None], axis=1)[:, 0]
         cache = cache.replace(lengths=(l0 + 1 + accept).astype(jnp.int32))
         return (nxt, cache, tokbuf), (draft, accept, nxt)
 
+    xs = (jax.random.split(rng, n_steps) if sampling is not None
+          else jnp.zeros((n_steps,)))
     (last, cache, tokbuf), (drafts, accepts, nexts) = jax.lax.scan(
-        step, (first_tok, cache, tokbuf), None, length=n_steps)
+        step, (first_tok, cache, tokbuf), xs, length=n_steps)
     return drafts, accepts, nexts, cache, tokbuf

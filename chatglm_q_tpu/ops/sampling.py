@@ -14,6 +14,29 @@ import jax
 import jax.numpy as jnp
 
 
+def top_p_filter(
+    logits: jax.Array,       # (..., V)
+    top_k: int = 100,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+    top_k_limit: jax.Array | None = None,   # (..., 1) per-row k ≤ top_k
+):
+    """The reference sampler's filtering without the draw: softmax/T →
+    top-k → top-p mask (always keeping the first) → renormalize.  Returns
+    (probs (..., top_k) summing to 1, vocab indices (..., top_k)) — the
+    exact target distribution, needed in full by speculative acceptance
+    (models/spec_decode.py)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+    probs, indices = jax.lax.top_k(probs, top_k)          # sorted descending
+    if top_k_limit is not None:
+        pos = jnp.arange(top_k)
+        probs = jnp.where(pos < top_k_limit, probs, 0.0)
+    cumsum = jnp.cumsum(probs, axis=-1)
+    probs = jnp.where((cumsum - probs) > top_p, 0.0, probs)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    return probs, indices
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def top_p_sampling(
     rng: jax.Array,
@@ -29,14 +52,8 @@ def top_p_sampling(
     per row (so one compiled program serves mixed per-request top_k values,
     as the batching engine needs).
     """
-    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
-    probs, indices = jax.lax.top_k(probs, top_k)          # sorted descending
-    if top_k_limit is not None:
-        pos = jnp.arange(top_k)
-        probs = jnp.where(pos < top_k_limit, probs, 0.0)
-    cumsum = jnp.cumsum(probs, axis=-1)
-    probs = jnp.where((cumsum - probs) > top_p, 0.0, probs)
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs, indices = top_p_filter(logits, top_k, top_p, temperature,
+                                  top_k_limit)
     # categorical over the masked top-k == multinomial (decoder.py:25)
     logp = jnp.log(jnp.where(probs > 0, probs, 1e-30))
     choice = jax.random.categorical(rng, logp, axis=-1)

@@ -41,6 +41,7 @@ class PagedServingEngine(ServingEngine):
                  num_pages: int = 64, page_size: int = 256,
                  prefix_cache: bool = False,
                  speculative_k: int = 0, speculative_ngram: int = 3,
+                 speculative_sampled: bool = False,
                  **kwargs):
         # consumed by _make_cache, which super().__init__ calls
         self.num_pages = num_pages
@@ -48,9 +49,14 @@ class PagedServingEngine(ServingEngine):
         self.prefix_cache = prefix_cache
         # in-graph prompt-lookup speculative decoding (greedy requests):
         # models/spec_decode.py; chunks fall back to plain decode whenever
-        # any active request samples (temperature > 0)
+        # any active request samples (temperature > 0) — unless
+        # speculative_sampled, which runs exact rejection sampling against
+        # the top-k/top-p filter for sampled rows (distribution-identical
+        # to the plain sampler but NOT bit-reproducible against it, so it
+        # is opt-in)
         self.speculative_k = speculative_k
         self.speculative_ngram = speculative_ngram
+        self.speculative_sampled = speculative_sampled
         # page-pool allocation is per GROUP: the single-host engine is one
         # group; the distributed engine (dist_engine.py) sets n_data before
         # this runs, partitioning pages and slots into data-shard groups so
@@ -315,13 +321,16 @@ class PagedServingEngine(ServingEngine):
             return toks.T, cache.replace(
                 k_pool=sub.k_pool, v_pool=sub.v_pool, lengths=new_lengths)
 
-        @partial(jax.jit, static_argnames=("n", "k", "ngram", "full_batch"),
+        @partial(jax.jit, static_argnames=("n", "k", "ngram", "full_batch",
+                                           "top_k"),
                  donate_argnums=(1, 2))
         def _spec_chunk_compact(params, cache, tokbuf, first_tok, real, slots,
-                                garb, n, k, ngram, full_batch=False):
+                                garb, n, k, ngram, full_batch=False,
+                                rng=None, sampling=None, top_k=100):
             # compact speculative chunk: models/spec_decode.py loop over the
             # active slots' rows (padding rows: garbage tables, length 0);
-            # full_batch as in _decode_chunk_compact (distributed engine)
+            # full_batch as in _decode_chunk_compact (distributed engine);
+            # rng+sampling switch sampled rows to exact rejection sampling
             from ..models import spec_decode as SD
 
             if full_batch:
@@ -338,7 +347,8 @@ class PagedServingEngine(ServingEngine):
             )
             drafts, accepts, nexts, sub, tb = SD.speculative_decode_paged(
                 params, self.mc, first_tok, sub, tb, n, k, ngram,
-                qt, self.dtype, self.rt,
+                qt, self.dtype, self.rt, rng=rng, sampling=sampling,
+                top_k=top_k,
             )
             if full_batch:
                 new_lengths = jnp.where(real, sub.lengths, cache.lengths)
@@ -384,8 +394,10 @@ class PagedServingEngine(ServingEngine):
             real[: len(active)] = True
             rows = {b: i for i, b in enumerate(active)}
         reqs = [self.slots[b].request for b in active]
-        if self.speculative_k and all(r.temperature == 0 for r in reqs):
-            return self._spec_step(started, active, slots, real, n, rows, full)
+        all_greedy = all(r.temperature == 0 for r in reqs)
+        if self.speculative_k and (all_greedy or self.speculative_sampled):
+            return self._spec_step(started, active, slots, real, n, rows,
+                                   full, sampled=not all_greedy)
 
         def per_row(attr, default, dtype):
             return np.array(
@@ -429,14 +441,32 @@ class PagedServingEngine(ServingEngine):
         self.stats["decode_chunks"] += 1
         return out
 
-    def _spec_step(self, started, active, slots, real, n, rows=None, full=False):
+    def _spec_step(self, started, active, slots, real, n, rows=None,
+                   full=False, sampled=False):
         garb = self._garbage[np.asarray(slots)]
+        extra = {}
+        if sampled:
+            # per-row sampling params (inactive/padding rows: greedy)
+            def per_row(attr, default, dtype):
+                return jnp.asarray(
+                    [getattr(self.slots[b].request, attr)
+                     if real[i] and self.slots[b].request else default
+                     for i, b in enumerate(slots)], dtype)
+
+            temps = per_row("temperature", 0.0, jnp.float32)
+            tops = per_row("top_p", 1.0, jnp.float32)
+            top_ks = per_row("top_k", 1, jnp.int32)
+            mx = int(np.asarray(top_ks).max())
+            sort_k = 100 if mx <= 100 else 1 << (mx - 1).bit_length()
+            self._rng, sub = jax.random.split(self._rng)
+            extra = dict(rng=sub, sampling=(temps, tops, top_ks),
+                         top_k=sort_k)
         drafts, accepts, nexts, self.cache, self._tokbuf =             self._spec_chunk_compact(
                 self.params, self.cache, self._tokbuf,
                 jnp.asarray([self._last_tok[b] for b in slots], jnp.int32),
                 jnp.asarray(real), jnp.asarray(slots, dtype=jnp.int32),
                 jnp.asarray(garb), n, self.speculative_k,
-                self.speculative_ngram, full_batch=full,
+                self.speculative_ngram, full_batch=full, **extra,
             )
         drafts, accepts, nexts = map(np.asarray, (drafts, accepts, nexts))
         out = started
