@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--speculative-k", type=int, default=0,
                     help="in-graph prompt-lookup speculation (paged engine, "
                          "greedy; 7 keeps the verify tile 8-row aligned)")
+    ap.add_argument("--sampled", type=float, default=0.0,
+                    help="submit with this temperature instead of greedy "
+                         "(with --speculative-k: exact rejection-sampling "
+                         "speculation, speculative_sampled=True)")
     args = ap.parse_args()
 
     mc = ChatGLM2Config()
@@ -62,14 +66,16 @@ def main():
         eng = PagedServingEngine(cfg, params, tokenizer=None,
                                  num_pages=pages, page_size=args.page_size,
                                  prefix_cache=args.prefix_cache,
-                                 speculative_k=args.speculative_k, **kw)
+                                 speculative_k=args.speculative_k,
+                                 speculative_sampled=args.sampled > 0, **kw)
     else:
         eng = ServingEngine(cfg, params, tokenizer=None, **kw)
     rng = np.random.default_rng(0)
     shared = rng.integers(0, 60000, args.shared_prefix).tolist()
     for i in range(args.requests):
         tail = rng.integers(0, 60000, max(args.prompt_len - args.shared_prefix, 1)).tolist()
-        eng.submit(shared + tail, max_new_tokens=args.new_tokens, temperature=0.0)
+        eng.submit(shared + tail, max_new_tokens=args.new_tokens,
+                   temperature=args.sampled)
 
     # warmup: one step compiles prefill bucket + decode chunk
     t0 = time.perf_counter()
@@ -88,6 +94,7 @@ def main():
         "prefill_chunk": args.prefill_chunk or None,
         "prefix_cache": args.prefix_cache,
         "shared_prefix": args.shared_prefix,
+        "temperature": args.sampled,
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),

@@ -50,6 +50,8 @@ step eng_paged 2400 python benchmarks/engine_bench.py --engine paged --flash \
 step eng_flash 2400 python benchmarks/engine_bench.py --flash
 step eng_spec  2400 python benchmarks/engine_bench.py --engine paged --flash \
   --prefill-chunk 256 --speculative-k 7
+step eng_spec_sampled 2400 python benchmarks/engine_bench.py --engine paged --flash \
+  --prefill-chunk 256 --speculative-k 7 --sampled 0.8
 
 # 5b. prefill/batch-shape autotune (dequant cost applies at all M;
 # dyn-int8's +44% prefill shows it)
