@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--speculative-k", type=int, default=0,
                     help="in-graph prompt-lookup speculation (paged engine, "
                          "greedy; 7 keeps the verify tile 8-row aligned)")
+    ap.add_argument("--lookahead", action="store_true",
+                    help="dense engine: dispatch chunk N+1 on device tokens "
+                         "before fetching chunk N (hides host+RTT)")
     ap.add_argument("--sampled", type=float, default=0.0,
                     help="submit with this temperature instead of greedy "
                          "(with --speculative-k: exact rejection-sampling "
@@ -69,7 +72,8 @@ def main():
                                  speculative_k=args.speculative_k,
                                  speculative_sampled=args.sampled > 0, **kw)
     else:
-        eng = ServingEngine(cfg, params, tokenizer=None, **kw)
+        eng = ServingEngine(cfg, params, tokenizer=None,
+                            lookahead=args.lookahead, **kw)
     rng = np.random.default_rng(0)
     shared = rng.integers(0, 60000, args.shared_prefix).tolist()
     for i in range(args.requests):
@@ -95,6 +99,7 @@ def main():
         "prefix_cache": args.prefix_cache,
         "shared_prefix": args.shared_prefix,
         "temperature": args.sampled,
+        "lookahead": args.lookahead,
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),

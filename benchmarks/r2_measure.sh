@@ -44,6 +44,7 @@ step fb_paged  2400 python benchmarks/full_bench.py --quants int4g32 --batches 1
 
 # 5. engine end-to-end (dense, chunked admission, paged+prefix)
 step eng_dense 2400 python benchmarks/engine_bench.py
+step eng_lookahead 2400 python benchmarks/engine_bench.py --lookahead
 step eng_chunk 2400 python benchmarks/engine_bench.py --prefill-chunk 128
 step eng_paged 2400 python benchmarks/engine_bench.py --engine paged --flash \
   --prefill-chunk 256 --prefix-cache --shared-prefix 48

@@ -81,6 +81,7 @@ class ServingEngine:
         kv_dtype=None,
         seed: int = 0,
         logger=None,  # optional chatglm_q_tpu.utils.logging.StructuredLogger
+        lookahead: bool = False,
     ):
         self.config = config
         self.mc = config.model_config
@@ -115,6 +116,15 @@ class ServingEngine:
         # host-side mirror of cache.lengths: finish checks and boundary
         # clamps must not pay a device fetch per slot per step
         self._host_lengths = np.zeros((max_batch,), np.int64)
+        # lookahead dispatch: chunk N+1 is submitted (chained on chunk N's
+        # DEVICE tokens) before chunk N is fetched to the host, so the
+        # host-side consume + scheduling + tunnel RTT hide behind device
+        # compute.  One-chunk result lag; slots that finish inside chunk N
+        # decode one discarded chunk (their writes land above the rolled-
+        # back lengths / get overwritten by the next admission — the
+        # engine's standard invalidation rule).
+        self.lookahead = lookahead
+        self._pending = None  # (toks_dev, active_mask, req_ids at dispatch)
 
         self._build_programs()
 
@@ -355,16 +365,14 @@ class ServingEngine:
                 self.logger.log("finish", req_id=req.req_id, slot=slot_idx,
                                 generated=len(req.generated))
 
-    def step(self) -> list[tuple[int, list]]:
-        """Admit, advance pending prefill chunks, one decode chunk.
-        Returns [(req_id, new_tokens)] for sequences that advanced."""
-        self._admit()
-        self._advance_prefills()
-        started, self._started_events = self._started_events, []
+    def _dispatch_chunk(self, first_tok):
+        """Submit one decode chunk (no host sync).  Returns
+        (toks_device (B, n), {slot: req_id at dispatch}) or None when no
+        slot is decoding."""
         active_mask = np.array([s.decoding for s in self.slots], bool)
         free_mask = np.array([s.request is None for s in self.slots], bool)
         if not active_mask.any():
-            return started
+            return None
         # fixed chunk length: over-generation past a slot's budget/eos is
         # rolled back below.  A budget-dependent n would both stall the whole
         # batch on one nearly-done slot and compile a fresh chunk program for
@@ -389,7 +397,7 @@ class ServingEngine:
         toks, self.cache = self._decode_chunk(
             self.params,
             self.cache,
-            jnp.asarray(self._last_tok),
+            first_tok,
             sub,
             jnp.asarray(active_mask),
             jnp.asarray(free_mask),
@@ -397,14 +405,74 @@ class ServingEngine:
             n,
             sort_k,
         )
-        toks = np.asarray(toks)  # (B, n)
-        out = started
-        for b, slot in enumerate(self.slots):
-            if slot.request is None or not slot.decoding:
-                continue
-            out.append(self._consume_slot_tokens(b, toks[b], n))
-        self.stats["steps"] += 1
+        req_ids = {b: s.request.req_id
+                   for b, s in enumerate(self.slots) if s.decoding}
         self.stats["decode_chunks"] += 1
+        return toks, req_ids
+
+    def _consume_chunk(self, toks_np, req_ids, out):
+        """Apply a fetched chunk's rows to the slots that still hold the
+        request they held at dispatch (a slot freed-and-reused since then
+        belongs to a different request — its rows are the discarded
+        overrun of the finished one)."""
+        for b, rid in req_ids.items():
+            slot = self.slots[b]
+            if (slot.request is None or slot.request.req_id != rid
+                    or not slot.decoding):
+                continue
+            out.append(self._consume_slot_tokens(b, toks_np[b], self.chunk))
+        return out
+
+    def step(self) -> list[tuple[int, list]]:
+        """Admit, advance pending prefill chunks, one decode chunk.
+        Returns [(req_id, new_tokens)] for sequences that advanced.
+
+        With ``lookahead``, the chunk dispatched this step is chained on the
+        previous chunk's DEVICE tokens and fetched one step later, so host
+        scheduling + the dispatch round trip overlap device compute (results
+        lag one chunk; a request finishing mid-chunk wastes its rows of one
+        extra chunk, standard rollback/invalidation).
+        """
+        self._admit()
+        self._advance_prefills()
+        started, self._started_events = self._started_events, []
+        if not self.lookahead:
+            disp = self._dispatch_chunk(jnp.asarray(self._last_tok))
+            if disp is None:
+                return started
+            toks, req_ids = disp
+            out = self._consume_chunk(np.asarray(toks), req_ids, started)
+            self.stats["steps"] += 1
+            return out
+
+        # lookahead: dispatch N+1 (stale slot view — finishes inside the
+        # unfetched chunk N are not yet known), then fetch + consume N
+        prev = self._pending
+        if prev is not None:
+            prev_toks, prev_req_ids = prev
+            # a slot continues from chunk N's last DEVICE token only if it
+            # still holds the request it decoded there — a slot freed and
+            # re-admitted since dispatch must start from the NEW request's
+            # host-known first token, not the old stream's garbage
+            prev_active = np.array(
+                [b in prev_req_ids
+                 and self.slots[b].request is not None
+                 and self.slots[b].request.req_id == prev_req_ids[b]
+                 and self.slots[b].decoding
+                 for b in range(self.max_batch)], bool)
+            first = jnp.where(jnp.asarray(prev_active), prev_toks[:, -1],
+                              jnp.asarray(self._last_tok))
+        else:
+            first = jnp.asarray(self._last_tok)
+        self._pending = self._dispatch_chunk(first)
+        out = started
+        if prev is not None:
+            toks_np = np.asarray(prev[0])  # syncs on chunk N only
+            out = self._consume_chunk(toks_np, prev[1], out)
+            # keep _last_tok coherent for slots whose pending chunk rows
+            # were discarded (finished requests): nothing to do — freed
+            # slots are re-seeded at admission
+        self.stats["steps"] += 1
         return out
 
     def _consume_slot_tokens(self, b: int, row, n: int):

@@ -57,6 +57,10 @@ class PagedServingEngine(ServingEngine):
         self.speculative_k = speculative_k
         self.speculative_ngram = speculative_ngram
         self.speculative_sampled = speculative_sampled
+        assert not kwargs.get("lookahead"), (
+            "lookahead dispatch is a dense-engine feature (the paged step "
+            "is compact/spec-aware); speculative_k is the paged engine's "
+            "host-round-trip amortizer")
         # page-pool allocation is per GROUP: the single-host engine is one
         # group; the distributed engine (dist_engine.py) sets n_data before
         # this runs, partitioning pages and slots into data-shard groups so

@@ -69,5 +69,13 @@ def check_quant_params(params: dict, config, quant_type: str) -> list[str]:
     check_linear("w_in_h", lyr["w_in_h"], H, int4_storage_k(I), True)
     check_linear("w_in_gate", lyr["w_in_gate"], H, int4_storage_k(I), True)
     check_linear("w_out", lyr["w_out"], I, H, True)
-    check_linear("lm_head", params["lm_head"], H, V, False)
+    # lm_head's vocab dim may be padded to LMHEAD_N_MULTIPLE (quantized
+    # factories/pipelines apply ops/quant.lmhead_pad; logits are sliced
+    # back to vocab_size at every call site)
+    from ..ops.quant import LMHEAD_N_MULTIPLE
+
+    v_stored = params["lm_head"]["weight"].shape[-1]
+    v_padded = -(-V // LMHEAD_N_MULTIPLE) * LMHEAD_N_MULTIPLE
+    v_ok = v_padded if (quant_type != "none" and v_stored == v_padded) else V
+    check_linear("lm_head", params["lm_head"], H, v_ok, False)
     return problems
