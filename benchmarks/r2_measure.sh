@@ -29,6 +29,7 @@ step microbench 2400 python benchmarks/kernel_microbench.py \
 
 # 2. per-shape autotune of the production kernels (resumable internally)
 step sweep_m8 5400 python benchmarks/autotune_sweep.py --m 8 --budget 12
+step sweep_int8_m8 2400 python benchmarks/autotune_sweep.py --kernel int8 --m 8 --budget 8
 
 # 3. headline (reads the autotune table via int4_matmul_auto)
 step bench 1800 python bench.py

@@ -67,7 +67,7 @@ def int8_matmul(flags, x, w, scale):
             out = PM.int8_dyn_matmul_pallas(x, w, scale)
             if out is not None:
                 return out
-        return PM.int8_matmul_pallas(x, w, scale)
+        return PM.int8_matmul_auto(x, w, scale)
     return _int8_matmul_fallback(x, w, scale)
 
 
