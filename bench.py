@@ -61,9 +61,11 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
         n = int4_storage_k(n)  # no-op except the w_in halves (13696→13824)
         if quant_type == "int4g32":
             p = {
-                # random.bits: native uint8 generation, no int32 transients
+                # random.bits: native uint8 generation, no int32 transients;
+                # f16 scales = the on-disk/loaded storage dtype
+                # (ops/quant.py SCALE_DTYPE) — 1/8 of the weight stream
                 "weight": jax.random.bits(next(ks), (L, k // 2, n), jnp.uint8),
-                "weight_scale": jnp.full((L, k // 32, n), 0.01, jnp.float32),
+                "weight_scale": jnp.full((L, k // 32, n), 0.01, jnp.float16),
             }
         elif quant_type == "int8":
             p = {
@@ -78,10 +80,15 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
 
     def lin1(k, n):
         k = int4_storage_k(k)
+        if quant_type != "none" and n >= 2048:
+            # production checkpoints load the lm_head vocab-padded
+            # (ops/quant.py lmhead_pad: 65024 → 65536 so the kernel tiles
+            # at full bn instead of 512); logits are sliced back
+            n = -(-n // 2048) * 2048
         if quant_type == "int4g32":
             return {
                 "weight": jax.random.bits(next(ks), (k // 2, n), jnp.uint8),
-                "weight_scale": jnp.full((k // 32, n), 0.01, jnp.float32),
+                "weight_scale": jnp.full((k // 32, n), 0.01, jnp.float16),
             }
         if quant_type == "int8":
             return {
@@ -120,6 +127,66 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
     }
 
 
+def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
+    """One-shot dequant-scheme selection when no sweep has recorded one.
+
+    Times each int4 scale scheme (broadcast / grouped / bt_grouped —
+    ops/pallas_matmul.py) on the dominant per-layer decode matmul with one
+    small kernel compile each, and records the winner as a provisional
+    autotune entry for every decode shape — so a round whose full
+    autotune sweep never ran still benches with the best measured scheme
+    instead of the built-in default.  A prior real sweep (non-probe table
+    entries) disables this; `benchmarks/autotune_sweep.py` replaces probe
+    entries."""
+    if quant_type != "int4g32" or jax.default_backend() != "tpu":
+        return
+    from functools import partial
+
+    from chatglm_q_tpu.ops import autotune as AT
+    from chatglm_q_tpu.ops import pallas_matmul as PM
+    from chatglm_q_tpu.ops.quant import int4_storage_k
+
+    H, I = config.hidden_size, config.inner_hidden_size
+    Ip = int4_storage_k(I)
+    bm = PM._block_m(1)
+    if AT.lookup("int4", bm, H, Ip):
+        return
+    K, N, L = H, Ip, 6  # w_in decode shape; L distinct weights bust caches
+    packs = jax.random.bits(jax.random.PRNGKey(13), (L, K // 2, N), jnp.uint8)
+    scales = jnp.full((L, K // 32, N), 0.01, jnp.float16)
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, K), jnp.bfloat16)
+
+    results = {}
+    for scheme in ("broadcast", "grouped", "bt_grouped"):
+        @partial(jax.jit, static_argnames="n")
+        def chain(x, packs, scales, n, _s=scheme):
+            def body(c, i):
+                out = PM.int4_matmul_pallas(c, packs[i % L], scales[i % L],
+                                            scheme=_s)
+                return out[:, :K].astype(c.dtype), out.sum()
+            _, sums = jax.lax.scan(body, x, jnp.arange(n))
+            return sums.sum()
+
+        try:
+            t = slope_time(lambda n: force(chain(x, packs, scales, n)), 4, 16)
+        except Exception as e:  # a scheme that fails to compile loses
+            _log(f"scheme probe: {scheme} failed ({type(e).__name__})")
+            continue
+        results[scheme] = t
+        _log(f"scheme probe: {scheme} {t*1e6:.0f} us/call")
+    if not results:
+        return
+    best = min(results, key=results.get)
+    _log(f"scheme probe winner: {best}")
+    qs, kv2 = config.q_size, 2 * config.kv_size
+    Vp = -(-config.vocab_size // 2048) * 2048
+    for (k, n) in ((H, qs), (H, int4_storage_k(kv2)), (qs, H), (H, Ip),
+                   (Ip, H), (H, Vp)):
+        AT.record("int4", bm, int4_storage_k(k), n,
+                  {"scheme": best, "probe": True},
+                  us_per_call=results[best] * 1e6)
+
+
 def make_params(config: ChatGLM2Config, quant_type: str, seed: int = 0):
     """Generate random params under ONE jit (eager generation lets dozens of
     RNG transients pile up in flight and OOMs this backend)."""
@@ -152,6 +219,7 @@ def main():
     # generate inside ONE jit: eagerly dispatching ~60 RNG ops lets their
     # transients pile up in flight and OOMs this backend; a single program
     # lets XLA schedule and reuse the temp buffers
+    ensure_scheme_probe(config, quant_type)
     params = make_params(config, quant_type)
     wbytes = weight_bytes_per_token(params)
 

@@ -142,7 +142,10 @@ def main():
             continue
         for m in args.m:
             bm = PM._block_m(m)
-            if AT.lookup(args.kernel, bm, k, n) and not args.force:
+            entry = AT.lookup(args.kernel, bm, k, n)
+            # bench.py's one-shot scheme probe records provisional
+            # ("probe": true) entries — a real sweep replaces them
+            if entry and not entry.get("probe") and not args.force:
                 print(f"skip {name} m{bm} (recorded)", flush=True)
                 continue
             best = None
