@@ -171,10 +171,13 @@ def bench_mode(mode):
     else:
         w = jax.random.normal(jax.random.PRNGKey(1), (L, K, N), jnp.bfloat16) * 0.01
         wbytes = K * N * 2
-    s = jnp.full((L, K // 32, N), 0.01, jnp.float32)
+    # f16: the production scale storage dtype (ops/quant.py SCALE_DTYPE) —
+    # the scale stream is 1/8 of the packed weights, so benching f32 scales
+    # would overstate DMA by ~8%
+    s = jnp.full((L, K // 32, N), 0.01, jnp.float16)
     if mode not in ("bf16", "int8", "int4_noscale", "int4_bittrick",
                     "int4_convert_i8"):
-        wbytes += (K // 32) * N * 4
+        wbytes += (K // 32) * N * 2
 
     @jax.jit
     def run(x, w, s, reps):
