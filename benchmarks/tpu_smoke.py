@@ -112,6 +112,18 @@ def main():
     want = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4)
     check("int4_pipelined", got, want, rtol=5e-2, atol=5e-1)
 
+    # dequant-scheme variants with f16 (production-storage) scales — the
+    # bench scheme probe / autotune sweep may select any of these, so they
+    # must be hardware-validated, not only interpret-mode tested
+    s4h = s4.astype(jnp.float16)
+    want_h = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4h).astype(jnp.float32)
+    for scheme in ("grouped", "bt_grouped"):
+        got = PM.int4_matmul_pallas(x, p4, s4h, scheme=scheme)
+        check(f"int4_{scheme}", got, want_h, rtol=5e-2, atol=5e-1)
+        got = PM.int4_matmul_pallas_pipelined(x, p4, s4h, scheme=scheme)
+        if got is not None:
+            check(f"int4_pipelined_{scheme}", got, want_h, rtol=5e-2, atol=5e-1)
+
     # decode v2 (manual double-buffered DMA, O(length) reads)
     got = PA.flash_attention_decode_v2(
         qd, kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3),
