@@ -41,9 +41,11 @@ L = 8  # distinct weights per chain (cache busting)
 # ChatGLM2-6B linear shapes in STORAGE dims (int4_storage_k padding).
 # name: (K, N, traffic_dominant)
 SHAPES = {
-    "q_proj": (4096, 4608, False),
+    # q_proj and o_proj are both (4096, 4096) in this package's layout
+    # (q/kv are SEPARATE linears — 4608 is the reference's fused-QKV width,
+    # which never occurs here) and share one shape key
+    "qo_proj": (4096, 4096, False),
     "kv_proj": (4096, 512, False),
-    "o_proj": (4608, 4096, False),
     "w_in": (4096, int4_storage_k(13696), True),
     "w_out": (int4_storage_k(13696), 4096, True),
     "lm_head": (4096, 65536, True),
