@@ -79,12 +79,14 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
         return p
 
     def lin1(k, n):
+        from chatglm_q_tpu.ops.quant import LMHEAD_N_MULTIPLE
+
         k = int4_storage_k(k)
-        if quant_type != "none" and n >= 2048:
+        if quant_type != "none" and n >= LMHEAD_N_MULTIPLE:
             # production checkpoints load the lm_head vocab-padded
             # (ops/quant.py lmhead_pad: 65024 → 65536 so the kernel tiles
             # at full bn instead of 512); logits are sliced back
-            n = -(-n // 2048) * 2048
+            n = -(-n // LMHEAD_N_MULTIPLE) * LMHEAD_N_MULTIPLE
         if quant_type == "int4g32":
             return {
                 "weight": jax.random.bits(next(ks), (k // 2, n), jnp.uint8),
@@ -146,6 +148,8 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
     from chatglm_q_tpu.ops import pallas_matmul as PM
     from chatglm_q_tpu.ops.quant import int4_storage_k
 
+    from chatglm_q_tpu.ops.quant import LMHEAD_N_MULTIPLE
+
     H, I = config.hidden_size, config.inner_hidden_size
     Ip = int4_storage_k(I)
     bm = PM._block_m(1)
@@ -156,13 +160,23 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
     scales = jnp.full((L, K // 32, N), 0.01, jnp.float16)
     x = jax.random.normal(jax.random.PRNGKey(12), (1, K), jnp.bfloat16)
 
-    results = {}
+    # measure through the SAME dispatch the decode program will use
+    # (pipelined first, grid when inapplicable — pallas_matmul
+    # int4_matmul_auto), so the recorded winner is the kernel that runs
+    def impl_call(c, p, s, scheme):
+        out = PM.int4_matmul_pallas_pipelined(c, p, s, scheme=scheme)
+        if out is not None:
+            return out, "pipelined"
+        return PM.int4_matmul_pallas(c, p, s, scheme=scheme), "grid"
+
+    results, impls = {}, {}
     for scheme in ("broadcast", "grouped", "bt_grouped"):
+        impls[scheme] = impl_call(x, packs[0], scales[0], scheme)[1]
+
         @partial(jax.jit, static_argnames="n")
         def chain(x, packs, scales, n, _s=scheme):
             def body(c, i):
-                out = PM.int4_matmul_pallas(c, packs[i % L], scales[i % L],
-                                            scheme=_s)
+                out, _ = impl_call(c, packs[i % L], scales[i % L], _s)
                 return out[:, :K].astype(c.dtype), out.sum()
             _, sums = jax.lax.scan(body, x, jnp.arange(n))
             return sums.sum()
@@ -173,18 +187,19 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
             _log(f"scheme probe: {scheme} failed ({type(e).__name__})")
             continue
         results[scheme] = t
-        _log(f"scheme probe: {scheme} {t*1e6:.0f} us/call")
+        _log(f"scheme probe: {scheme}/{impls[scheme]} {t*1e6:.0f} us/call")
     if not results:
         return
     best = min(results, key=results.get)
-    _log(f"scheme probe winner: {best}")
+    _log(f"scheme probe winner: {best} ({impls[best]})")
     qs, kv2 = config.q_size, 2 * config.kv_size
-    Vp = -(-config.vocab_size // 2048) * 2048
+    Vp = -(-config.vocab_size // LMHEAD_N_MULTIPLE) * LMHEAD_N_MULTIPLE
     for (k, n) in ((H, qs), (H, int4_storage_k(kv2)), (qs, H), (H, Ip),
                    (Ip, H), (H, Vp)):
         AT.record("int4", bm, int4_storage_k(k), n,
-                  {"scheme": best, "probe": True},
-                  us_per_call=results[best] * 1e6)
+                  {"scheme": best, "impl": impls[best], "probe": True},
+                  us_per_call=(results[best] * 1e6
+                               if (int4_storage_k(k), n) == (K, N) else None))
 
 
 def make_params(config: ChatGLM2Config, quant_type: str, seed: int = 0):

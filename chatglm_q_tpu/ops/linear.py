@@ -67,7 +67,8 @@ def int8_matmul(flags, x, w, scale):
             out = PM.int8_dyn_matmul_pallas(x, w, scale)
             if out is not None:
                 return out
-        return PM.int8_matmul_auto(x, w, scale)
+        # int8_matmul_pallas consults the autotune table internally
+        return PM.int8_matmul_pallas(x, w, scale)
     return _int8_matmul_fallback(x, w, scale)
 
 

@@ -591,20 +591,6 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
 _NO_PIPELINE = os.environ.get("CHATGLM_Q_TPU_NO_PIPELINE") == "1"
 
 
-def int8_matmul_auto(x, w, scale, *, interpret=None):
-    """int8 dispatch mirroring int4_matmul_auto: measured autotune block
-    sizes when present (benchmarks/autotune_sweep.py --kernel int8), else
-    the defaults."""
-    from . import autotune as AT
-
-    tuned = AT.lookup("int8", _block_m(x.shape[0]), w.shape[0],
-                      w.shape[1]) or {}
-    return int8_matmul_pallas(
-        x, w, scale, bk_cap=tuned.get("bk") or 2048,
-        bn_cap=tuned.get("bn") or 2048, interpret=interpret,
-    )
-
-
 def int4_matmul_auto(x, packed, scale, *, interpret=None):
     """Dispatch: measured autotune entry when present (impl/blocks/scheme,
     ops/autotune.py); else pipelined decode kernel when applicable, grid

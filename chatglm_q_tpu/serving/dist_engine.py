@@ -179,6 +179,11 @@ class DistributedPagedServingEngine(PagedServingEngine):
             import dataclasses
 
             rt = dataclasses.replace(rt, paged_shard_model=True)
+        assert not (rt.paged_shard_model and not self._shard_model_pages), (
+            "rt.paged_shard_model requires shard_model_pages=True: the "
+            "msharded decode kernel assumes the phase-aware page layout "
+            "(logical page j on model chip j % tp) — without it, the "
+            "global→local clip maps pages to WRONG local slots silently")
         super().__init__(config, params, tokenizer, max_batch=max_batch,
                          rt=rt, **kwargs)
         # unadmitted rows point at their OWN sub-pool's garbage page from

@@ -124,7 +124,7 @@ class ServingEngine:
         # back lengths / get overwritten by the next admission — the
         # engine's standard invalidation rule).
         self.lookahead = lookahead
-        self._pending = None  # (toks_dev, active_mask, req_ids at dispatch)
+        self._pending = None  # (toks_device, {slot: req_id at dispatch})
 
         self._build_programs()
 
