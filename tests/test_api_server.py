@@ -1,0 +1,196 @@
+"""OpenAI-compatible API server tests (CPU, tiny model, live HTTP).
+
+The server multiplexes HTTP clients onto one continuous-batching engine;
+these tests exercise the full stack — routing, SSE streaming, stop
+sequences, usage accounting — over a real socket."""
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatglm_q_tpu.config import ChatGLM2Config, GLMLoadConfig, TpuRuntimeConfig
+from chatglm_q_tpu.models import chatglm2 as M
+from chatglm_q_tpu.serving.engine import ServingEngine
+from chatglm_q_tpu.serving.api_server import GLMAPIServer, _messages_to_prompt
+
+RT = TpuRuntimeConfig(use_pallas=False, use_flash_attention=False)
+
+CFG = ChatGLM2Config(
+    hidden_size=64, inner_hidden_size=64, head_hidden_size=16,
+    num_multi_query_groups=2, num_attention_heads=4, num_layers=2,
+    vocab_size=128, max_sequence_length=64,
+)
+
+
+class StubTokenizer:
+    """Char-level codec over the tiny vocab (id = codepoint offset into a
+    CJK page so decode is always valid text)."""
+
+    BASE = 0x4E00
+
+    def encode(self, text):
+        return [ord(c) % 128 for c in text]
+
+    def decode(self, ids):
+        return "".join(chr(self.BASE + int(i)) for i in ids)
+
+    def __getitem__(self, piece):
+        assert piece == "</s>"
+        return 2
+
+
+@pytest.fixture(scope="module")
+def api():
+    params = M.init_params(jax.random.PRNGKey(0), CFG, "none", jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    eng = ServingEngine(load_cfg, params, tokenizer=StubTokenizer(),
+                        max_batch=4, max_seq_len=64, decode_chunk=4, rt=RT)
+    server = GLMAPIServer(eng, port=0, model_name="tiny-test")
+    server.start()
+    yield server
+    server.shutdown()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post_stream(server, path, body):
+    """Returns (deltas, finish_reason) parsed from the SSE stream."""
+    body = dict(body, stream=True)
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    deltas, reason = [], None
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            obj = json.loads(payload)
+            choice = obj["choices"][0]
+            if choice.get("finish_reason"):
+                reason = choice["finish_reason"]
+            if "delta" in choice:
+                deltas.append(choice["delta"].get("content", ""))
+            else:
+                deltas.append(choice.get("text", ""))
+    return deltas, reason
+
+
+BODY = {"model": "tiny-test", "max_tokens": 12, "temperature": 0.0,
+        "messages": [{"role": "user", "content": "hello"}]}
+
+
+def test_models_endpoint(api):
+    with urllib.request.urlopen(
+            f"http://{api.host}:{api.port}/v1/models", timeout=60) as resp:
+        obj = json.loads(resp.read())
+    assert obj["data"][0]["id"] == "tiny-test"
+
+
+def test_chat_completion(api):
+    status, obj = _post(api, "/v1/chat/completions", BODY)
+    assert status == 200
+    assert obj["object"] == "chat.completion"
+    choice = obj["choices"][0]
+    assert choice["message"]["role"] == "assistant"
+    assert isinstance(choice["message"]["content"], str)
+    assert choice["finish_reason"] in ("stop", "length")
+    u = obj["usage"]
+    assert u["prompt_tokens"] > 0
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    assert u["completion_tokens"] <= 12
+
+
+def test_stream_matches_non_stream(api):
+    _, obj = _post(api, "/v1/chat/completions", BODY)
+    full = obj["choices"][0]["message"]["content"]
+    deltas, reason = _post_stream(api, "/v1/chat/completions", BODY)
+    assert "".join(deltas) == full
+    assert reason == obj["choices"][0]["finish_reason"]
+
+
+def test_text_completion(api):
+    body = {"model": "tiny-test", "prompt": "abc", "max_tokens": 8,
+            "temperature": 0.0}
+    status, obj = _post(api, "/v1/completions", body)
+    assert status == 200
+    assert obj["object"] == "text_completion"
+    assert isinstance(obj["choices"][0]["text"], str)
+
+
+def test_stop_sequence_truncates(api):
+    _, obj = _post(api, "/v1/chat/completions", dict(BODY, max_tokens=16))
+    full = obj["choices"][0]["message"]["content"]
+    if len(full) < 3:
+        pytest.skip("tiny model generated too little text to split")
+    stop = full[2:4]
+    _, obj2 = _post(api, "/v1/chat/completions",
+                    dict(BODY, max_tokens=16, stop=stop))
+    text = obj2["choices"][0]["message"]["content"]
+    assert stop not in text
+    assert text == full[: full.find(stop)]
+    assert obj2["choices"][0]["finish_reason"] == "stop"
+    # streaming path applies the same truncation
+    deltas, reason = _post_stream(api, "/v1/chat/completions",
+                                  dict(BODY, max_tokens=16, stop=stop))
+    assert "".join(deltas) == text
+    assert reason == "stop"
+
+
+def test_concurrent_clients_share_engine(api):
+    """Four clients in flight at once — continuous batching multiplexes
+    them onto the 4 engine slots; greedy answers must match serial runs."""
+    _, ref = _post(api, "/v1/chat/completions", BODY)
+    expected = ref["choices"][0]["message"]["content"]
+    results = [None] * 4
+
+    def call(i):
+        _, obj = _post(api, "/v1/chat/completions", BODY)
+        results[i] = obj["choices"][0]["message"]["content"]
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results == [expected] * 4
+
+
+def test_bad_json_is_400(api):
+    req = urllib.request.Request(
+        f"http://{api.host}:{api.port}/v1/chat/completions",
+        data=b"{not json", headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
+
+
+def test_messages_template_mapping():
+    prompt = _messages_to_prompt([
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ])
+    assert prompt == "[Round 1]\n\n问：q1\n\n答：a1\n\n[Round 2]\n\n问：sys\nq2\n\n答："
+    with pytest.raises(ValueError):
+        _messages_to_prompt([{"role": "assistant", "content": "a"}])

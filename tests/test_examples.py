@@ -94,3 +94,34 @@ def test_ceval_script(tiny_float_ckpt, capsys, tmp_path):
                 ["--model", str(ckpt), "--ceval-dir", str(tmp_path)])
     out = capsys.readouterr().out
     assert "overall:" in out
+
+
+def test_api_server_over_checkpoint(tiny_float_ckpt):
+    """The examples/api_server.py wiring: checkpoint -> engine with the
+    REAL tokenizer -> HTTP chat completion (the unit tests use a stub)."""
+    import json as _json
+    import urllib.request
+    from chatglm_q_tpu.serving import ServingEngine, GLMAPIServer
+    from chatglm_q_tpu.config import TpuRuntimeConfig
+
+    d, ckpt, _ = tiny_float_ckpt
+    config, params, tok = load_model_and_tokenizer(ckpt)
+    eng = ServingEngine(config, params, tok, max_batch=2, max_seq_len=64,
+                        decode_chunk=4,
+                        rt=TpuRuntimeConfig(use_pallas=False,
+                                            use_flash_attention=False))
+    server = GLMAPIServer(eng, port=0, model_name="tiny-ckpt")
+    server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/v1/chat/completions",
+            data=_json.dumps({
+                "messages": [{"role": "user", "content": "hello world"}],
+                "max_tokens": 6, "temperature": 0.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            obj = _json.loads(resp.read())
+        assert obj["choices"][0]["finish_reason"] in ("stop", "length")
+        assert isinstance(obj["choices"][0]["message"]["content"], str)
+    finally:
+        server.shutdown()
