@@ -308,6 +308,8 @@ def _make_handler(server: GLMAPIServer):
                      "created": int(time.time()), "owned_by": "chatglm_q_tpu"}]})
             elif self.path in ("/health", "/healthz"):
                 self._json(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._metrics()
             else:
                 self._error(404, f"unknown path {self.path}")
 
@@ -325,6 +327,28 @@ def _make_handler(server: GLMAPIServer):
                 return self._error(400, str(e))
             self._error(404, f"unknown path {self.path}")
 
+        def _metrics(self):
+            """Prometheus text exposition of the engine counters (A7
+            observability at the serving boundary).  Reads are unlocked —
+            metrics tolerate a torn view of monotonically growing ints."""
+            eng = server.engine
+            lines = ["# TYPE glm_engine_total counter"]
+            for k, v in eng.stats.items():
+                lines.append(f'glm_engine_total{{stat="{k}"}} {v}')
+            lines += [
+                "# TYPE glm_engine_gauge gauge",
+                f'glm_engine_gauge{{stat="queued"}} {len(eng.queue)}',
+                f'glm_engine_gauge{{stat="active_slots"}} '
+                f'{sum(1 for s in eng.slots if s.request is not None)}',
+                f'glm_engine_gauge{{stat="max_batch"}} {eng.max_batch}',
+            ]
+            data = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         # -- completions --------------------------------------------
 
         def _completions(self, body: dict, chat: bool):
@@ -341,7 +365,8 @@ def _make_handler(server: GLMAPIServer):
             oid = (f"chatcmpl-{next(server._counter)}" if chat
                    else f"cmpl-{next(server._counter)}")
             if body.get("stream"):
-                return self._stream(body, chat, oid, rid, state, events)
+                return self._stream(body, chat, oid, rid, state, events,
+                                    n_prompt)
 
             while True:
                 ev = events.get(timeout=600)
@@ -381,7 +406,7 @@ def _make_handler(server: GLMAPIServer):
                     text = text[:hit]
             return text
 
-        def _stream(self, body, chat, oid, rid, state, events):
+        def _stream(self, body, chat, oid, rid, state, events, n_prompt):
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -422,6 +447,15 @@ def _make_handler(server: GLMAPIServer):
                     chunk({"content": tail})
                 reason = "stop" if state.stopped else server.worker.finish_reason(rid)
                 chunk({}, reason=reason)
+                if (body.get("stream_options") or {}).get("include_usage"):
+                    usage = {"prompt_tokens": n_prompt,
+                             "completion_tokens": len(state.ids),
+                             "total_tokens": n_prompt + len(state.ids)}
+                    payload = json.dumps({"id": oid, "object": obj,
+                                          "created": int(time.time()),
+                                          "model": server.model_name,
+                                          "choices": [], "usage": usage})
+                    self._write_chunk(f"data: {payload}\n\n")
                 self._write_chunk("data: [DONE]\n\n")
                 self._write_chunk("")  # terminal zero-length chunk
             except (BrokenPipeError, ConnectionResetError):

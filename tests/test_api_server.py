@@ -194,3 +194,41 @@ def test_messages_template_mapping():
     assert prompt == "[Round 1]\n\n问：q1\n\n答：a1\n\n[Round 2]\n\n问：sys\nq2\n\n答："
     with pytest.raises(ValueError):
         _messages_to_prompt([{"role": "assistant", "content": "a"}])
+
+
+def test_metrics_endpoint(api):
+    # generate something first so counters are nonzero
+    _post(api, "/v1/chat/completions", BODY)
+    with urllib.request.urlopen(
+            f"http://{api.host}:{api.port}/metrics", timeout=60) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert 'glm_engine_total{stat="generated_tokens"}' in text
+    assert 'glm_engine_gauge{stat="max_batch"} 4' in text
+    gen = int(next(l for l in text.splitlines()
+                   if 'stat="generated_tokens"' in l).rsplit(" ", 1)[1])
+    assert gen > 0
+
+
+def test_stream_include_usage(api):
+    body = dict(BODY, stream=True, stream_options={"include_usage": True})
+    req = urllib.request.Request(
+        f"http://{api.host}:{api.port}/v1/chat/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    usage = None
+    n_text = 0
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            obj = json.loads(line[6:])
+            if obj.get("usage"):
+                usage = obj["usage"]
+                assert obj["choices"] == []
+            for c in obj["choices"]:
+                n_text += len(c.get("delta", {}).get("content", ""))
+    assert usage is not None
+    assert usage["completion_tokens"] <= 12
+    assert usage["total_tokens"] == usage["prompt_tokens"] + usage["completion_tokens"]
