@@ -113,22 +113,30 @@ class EngineWorker(threading.Thread):
                 q.put(_DONE)
 
     def run(self):
-        while not self._stop:
-            self._drain_mail()
-            # a cancel can retire a request without a further step (and may
-            # leave the engine with no work at all) — route its _DONE now,
-            # not only after the next step
-            self._route_finished()
-            if not self.engine.has_work:
-                # idle: block until a submission (or shutdown) arrives
-                self._wake.wait(timeout=1.0)
-                self._wake.clear()
-                continue
-            for rid, toks in self.engine.step():
-                q = self._events.get(rid)
-                if q is not None and toks:
-                    q.put(list(toks))
-            self._route_finished()
+        try:
+            while not self._stop:
+                self._drain_mail()
+                # a cancel can retire a request without a further step (and
+                # may leave the engine with no work at all) — route its
+                # _DONE now, not only after the next step
+                self._route_finished()
+                if not self.engine.has_work:
+                    # idle: block until a submission (or shutdown) arrives
+                    self._wake.wait(timeout=1.0)
+                    self._wake.clear()
+                    continue
+                for rid, toks in self.engine.step():
+                    q = self._events.get(rid)
+                    if q is not None and toks:
+                        q.put(list(toks))
+                self._route_finished()
+        finally:
+            # worker exiting (shutdown or a device/engine exception): close
+            # every open event stream so no HTTP client hangs to timeout
+            for rid, q in list(self._events.items()):
+                self._finish_reason.setdefault(rid, "error")
+                q.put(_DONE)
+            self._events.clear()
 
 
 class _StreamState:
@@ -232,12 +240,14 @@ class GLMAPIServer:
         self.host, self.port = self.httpd.server_address[:2]
 
     def start(self):
-        self.worker.start()
+        if not self.worker.is_alive():
+            self.worker.start()
         threading.Thread(target=self.httpd.serve_forever, daemon=True,
                          name="http-accept").start()
 
     def serve(self):
-        self.worker.start()
+        if not self.worker.is_alive():
+            self.worker.start()
         try:
             self.httpd.serve_forever()
         finally:

@@ -232,3 +232,37 @@ def test_stream_include_usage(api):
     assert usage is not None
     assert usage["completion_tokens"] <= 12
     assert usage["total_tokens"] == usage["prompt_tokens"] + usage["completion_tokens"]
+
+
+def test_worker_crash_closes_streams():
+    """A device/engine exception must not leave HTTP clients hanging: the
+    worker closes every open event stream with finish_reason=error."""
+    from chatglm_q_tpu.serving.api_server import EngineWorker, _DONE
+
+    class BoomEngine:
+        eos_token_id = 2
+        finished = []
+
+        def __init__(self):
+            self._n = 0
+
+        @property
+        def has_work(self):
+            return self._n > 0
+
+        def submit(self, ids, **kw):
+            self._n += 1
+            return self._n
+
+        def step(self):
+            raise RuntimeError("device fell over")
+
+        def cancel(self, rid):
+            pass
+
+    w = EngineWorker(BoomEngine())
+    w.start()
+    rid, events = w.submit([1, 2, 3])
+    assert events.get(timeout=30) is _DONE
+    assert w.finish_reason(rid) == "error"
+    assert not w.is_alive() or w._stop is False  # thread exited via finally
