@@ -65,9 +65,13 @@ INT4_CANDIDATES = [
 ]
 
 INT8_CANDIDATES = [
-    ("grid", {"bk": 2048, "bn": 2048}),
-    ("grid", {"bk": 2048, "bn": 1024}),
-    ("grid", {"bk": 1024, "bn": 1024}),
+    # bt first: removes the int8→bf16 convert (round-1 attribution: the
+    # convert is the int8 path's remaining per-element cost)
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "bt"}),
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "bt"}),
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "convert"}),
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "convert"}),
+    ("grid", {"bk": 1024, "bn": 1024, "scheme": "convert"}),
 ]
 
 
@@ -115,7 +119,8 @@ def measure(kernel, m, k, n, impl, cfg):
 
         def call(x, wi, si):
             return PM.int8_matmul_pallas(x, wi, si, bk_cap=cfg["bk"],
-                                         bn_cap=cfg["bn"])
+                                         bn_cap=cfg["bn"],
+                                         scheme=cfg.get("scheme"))
 
     # outputs (m, n) feed the next chain link's (m, k) input; pad/trim n→k
     if n < k:

@@ -127,6 +127,16 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
     elif mode == "int8":
         w = p_ref[...].astype(jnp.bfloat16)
         acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    elif mode == "int8_bt":
+        # no int→float convert: biased byte u = q+128 split into nibbles,
+        # each OR-ed into bf16-256's mantissa; x·q = 8·dh + 0.5·dl − 2304·Σx
+        u = pltpu.bitcast(p_ref[...], jnp.uint8) ^ 0x80
+        wh = pltpu.bitcast((u >> 4).astype(jnp.int16) | 0x4380, jnp.bfloat16)
+        wl = pltpu.bitcast((u & 0xF).astype(jnp.int16) | 0x4380, jnp.bfloat16)
+        dh = jnp.dot(x, wh, preferred_element_type=jnp.float32)
+        dl = jnp.dot(x, wl, preferred_element_type=jnp.float32)
+        xsum = x.astype(jnp.float32).sum(axis=1, keepdims=True)
+        acc_ref[...] += 8.0 * dh + 0.5 * dl - 2304.0 * xsum
     else:  # bf16
         acc_ref[...] += jnp.dot(x, p_ref[...], preferred_element_type=jnp.float32)
 
@@ -165,7 +175,7 @@ def bench_mode(mode):
     if mode in _INT4_MODES:
         w = jax.random.bits(jax.random.PRNGKey(1), (L, K // 2, N), jnp.uint8)
         wbytes = K * N // 2
-    elif mode == "int8":
+    elif mode in ("int8", "int8_bt"):
         w = jax.random.bits(jax.random.PRNGKey(1), (L, K, N), jnp.uint8).astype(jnp.int8)
         wbytes = K * N
     else:
@@ -175,8 +185,8 @@ def bench_mode(mode):
     # the scale stream is 1/8 of the packed weights, so benching f32 scales
     # would overstate DMA by ~8%
     s = jnp.full((L, K // 32, N), 0.01, jnp.float16)
-    if mode not in ("bf16", "int8", "int4_noscale", "int4_bittrick",
-                    "int4_convert_i8"):
+    if mode not in ("bf16", "int8", "int8_bt", "int4_noscale",
+                    "int4_bittrick", "int4_convert_i8"):
         wbytes += (K // 32) * N * 2
 
     @jax.jit
@@ -205,7 +215,7 @@ def bench_mode(mode):
 
 
 if __name__ == "__main__":
-    modes = sys.argv[1:] or ("bf16", "int8", "int4_noscale", "int4",
+    modes = sys.argv[1:] or ("bf16", "int8", "int8_bt", "int4_noscale", "int4",
                              "int4_repeat", "int4_grouped", "int4_batched",
                              "int4_bittrick", "int4_bt_grouped",
                              "int4_convert_i8")

@@ -25,7 +25,7 @@ timeout 110 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).
 
 # 1. scheme shootout (small kernels, highest information first)
 step microbench 2400 python benchmarks/kernel_microbench.py \
-  int4 int4_grouped int4_bt_grouped int4_noscale
+  int4 int4_grouped int4_bt_grouped int4_noscale int8 int8_bt
 
 # 2. per-shape autotune of the production kernels (resumable internally)
 step sweep_m8 5400 python benchmarks/autotune_sweep.py --m 8 --budget 12

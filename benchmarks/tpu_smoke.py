@@ -124,6 +124,11 @@ def main():
         if got is not None:
             check(f"int4_pipelined_{scheme}", got, want_h, rtol=5e-2, atol=5e-1)
 
+    # int8 bt scheme (nibble-split bf16 construction, no int→float convert)
+    got = PM.int8_matmul_pallas(x, w8, s8, scheme="bt")
+    want = (x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8))
+    check("int8_bt", got, want, rtol=5e-2, atol=5e-1)
+
     # decode v2 (manual double-buffered DMA, O(length) reads)
     got = PA.flash_attention_decode_v2(
         qd, kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3),

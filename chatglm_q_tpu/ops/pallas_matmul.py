@@ -68,6 +68,17 @@ def _resolve_scheme(scheme: str | None) -> str:
     if scheme is not None and _INT4_SCHEME == "broadcast":
         return scheme  # tuned value; env/monkeypatch (non-default) wins
     return _INT4_SCHEME
+
+
+# int8 dequant scheme: "convert" (native int8→float) or "bt" (nibble-split
+# bitwise bf16 construction, no convert; see _int8_fwd_kernel)
+_INT8_SCHEME = os.environ.get("CHATGLM_Q_TPU_INT8_SCHEME", "convert")
+
+
+def _resolve_int8_scheme(scheme: str | None) -> str:
+    if scheme is not None and _INT8_SCHEME == "convert":
+        return scheme
+    return _INT8_SCHEME
 # optional per-kernel VMEM budget override (sweeps only; measured: raising
 # it to 96 MB made decode slightly SLOWER - the compiler's default budget
 # schedules better)
@@ -143,16 +154,53 @@ def _bittrick_unpack(p_tile: jax.Array, interpret: bool) -> jax.Array:
 # Forward kernels
 # ---------------------------------------------------------------------------
 
-def _int8_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+def _int8_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                     scheme="convert", interpret=False):
+    """int8 per-out-channel fused dequant-matmul K-step.
+
+    The per-N scale commutes with the K reduction, so it is applied ONCE on
+    the accumulator — the only per-weight-element work is the int8→float
+    convert.  Schemes:
+
+    * ``convert`` (default): native int8→bf16/f32 convert, one dot.
+    * ``bt``: NO int→float convert.  The biased byte u = q + 128 is split
+      into nibbles u = 16·uh + ul; each nibble is OR-ed into the mantissa of
+      bf16 256.0 (the int4 _bittrick_unpack construction, giving 256 + 2·uh
+      and 256 + 2·ul exactly), and
+        x·q = 8·(x·wh) + 0.5·(x·wl) − 2304·Σx
+      recovers the true dot with a rank-1 row-sum term.  Two MXU dots per
+      tile instead of one — free at decode M where the kernel is
+      bandwidth-bound, so the trade is VPU convert work → MXU work.
+      Requires bf16 activations (the wrapper gates on dtype).
+    """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] += jnp.dot(
-        x_ref[...], w_ref[...].astype(x_ref.dtype), preferred_element_type=jnp.float32
-    )
+    if scheme == "bt":
+        xb = x_ref[...]
+        if not interpret:
+            u = pltpu.bitcast(w_ref[...], jnp.uint8) ^ 0x80
+            wh = pltpu.bitcast((u >> 4).astype(jnp.int16) | 0x4380,
+                               jnp.bfloat16)
+            wl = pltpu.bitcast((u & 0xF).astype(jnp.int16) | 0x4380,
+                               jnp.bfloat16)
+        else:
+            u = w_ref[...].astype(jnp.float32) + 128.0
+            uh = jnp.floor(u / 16.0)
+            wh = (256.0 + 2.0 * uh).astype(jnp.bfloat16)
+            wl = (256.0 + 2.0 * (u - 16.0 * uh)).astype(jnp.bfloat16)
+        dh = jnp.dot(xb, wh, preferred_element_type=jnp.float32)
+        dl = jnp.dot(xb, wl, preferred_element_type=jnp.float32)
+        xsum = xb.astype(jnp.float32).sum(axis=1, keepdims=True)
+        acc_ref[...] += 8.0 * dh + 0.5 * dl - 2304.0 * xsum
+    else:
+        acc_ref[...] += jnp.dot(
+            x_ref[...], w_ref[...].astype(x_ref.dtype),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -239,13 +287,19 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, interpret=None):
+def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, scheme=None,
+                       interpret=None):
     """x (M, K) float @ (w (K, N) int8 ⊙ scale (N,)) → (M, N)."""
     from . import autotune as AT
 
     tuned = AT.lookup("int8", _block_m(x.shape[0]), w.shape[0], w.shape[1]) or {}
     bk_cap = _BK_CAP or tuned.get("bk") or bk_cap
     bn_cap = _BN_CAP or tuned.get("bn") or bn_cap
+    scheme = _resolve_int8_scheme(scheme or tuned.get("scheme")) or "convert"
+    if scheme == "bt" and x.dtype != jnp.bfloat16:
+        # the nibble-split construction is exact only against bf16-rounded
+        # activations; f32 parity/oracle modes keep the convert path
+        scheme = "convert"
     if interpret is None:
         interpret = not _is_tpu()
     M, K = x.shape
@@ -260,7 +314,7 @@ def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, interpret=None)
     Mp = xp.shape[0]
 
     out = pl.pallas_call(
-        _int8_fwd_kernel,
+        functools.partial(_int8_fwd_kernel, scheme=scheme, interpret=interpret),
         grid=(Mp // bm, N // bn, K // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),

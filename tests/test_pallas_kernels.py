@@ -223,3 +223,48 @@ def test_int4_pipelined_alt_schemes(scheme, monkeypatch):
     xo = x.astype(jnp.bfloat16).astype(jnp.float32) if scheme == "bt_grouped" else x
     ref = xo @ Q.unpack_int4_tpu(p, s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384)])
+def test_int8_bt_scheme(m, k, n):
+    """bt (nibble-split bitwise bf16 construction) must match the convert
+    scheme on bf16 activations: both compute dot(x_bf16, q exactly
+    representable) with f32 accumulation."""
+    x = rand((m, k), 21).astype(jnp.bfloat16)
+    w, s = make_int8(k, n, 22)
+    got = PM.int8_matmul_pallas(x, w, s, scheme="bt", interpret=INTERPRET)
+    base = PM.int8_matmul_pallas(x, w, s, scheme="convert", interpret=INTERPRET)
+    ref = x.astype(jnp.float32) @ (w.astype(jnp.float32) * s)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(base, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-1)
+
+
+def test_int8_bt_extreme_values():
+    """q = ±127/−128 and large activations exercise the biased-byte split
+    exactly (u = 0 and 255 hit both nibble extremes)."""
+    k, n = 64, 128
+    w = jnp.tile(jnp.asarray([[-128, -127, -1, 0, 1, 126, 127, -64]],
+                             jnp.int8), (k, n // 8))
+    s = jnp.ones((n,), jnp.float32) * 0.5
+    x = jnp.ones((8, k), jnp.bfloat16) * 3.0
+    got = PM.int8_matmul_pallas(x, w, s, scheme="bt", interpret=INTERPRET)
+    base = PM.int8_matmul_pallas(x, w, s, scheme="convert", interpret=INTERPRET)
+    # integer-valued products: both schemes are exact in f32, so the bf16
+    # output cast is the only rounding and must be IDENTICAL
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    ref = x.astype(jnp.float32) @ (w.astype(jnp.float32) * s)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=5e-3)
+
+
+def test_int8_bt_f32_falls_back():
+    """f32 activations keep convert-scheme numerics (bt requires bf16)."""
+    x = rand((4, 256), 23)  # float32
+    w, s = make_int8(256, 128, 24)
+    got = PM.int8_matmul_pallas(x, w, s, scheme="bt", interpret=INTERPRET)
+    base = PM.int8_matmul_pallas(x, w, s, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
