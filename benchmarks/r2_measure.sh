@@ -43,6 +43,8 @@ step fb_grid_1k 2400 python benchmarks/full_bench.py --quants int4g32 --batches 
 step fb_paged  2400 python benchmarks/full_bench.py --quants int4g32 --batches 1,8 \
   --flash --paged --start-len 960
 
+step fb_int8  2400 python benchmarks/full_bench.py --quants int8 --batches 1,8
+
 # 5. engine end-to-end (dense, chunked admission, paged+prefix)
 step eng_dense 2400 python benchmarks/engine_bench.py
 step eng_lookahead 2400 python benchmarks/engine_bench.py --lookahead

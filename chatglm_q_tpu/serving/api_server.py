@@ -34,6 +34,7 @@ from typing import Optional
 from .chat import chat_template, process_response
 
 _DONE = object()  # sentinel closing a per-request event stream
+_EVENT_TIMEOUT = 600  # seconds a handler waits on the next token event
 
 
 class EngineWorker(threading.Thread):
@@ -51,23 +52,35 @@ class EngineWorker(threading.Thread):
         self._events: dict[int, queue.Queue] = {}
         self._finish_reason: dict[int, str] = {}
         self._wake = threading.Event()
-        self._stop = False
+        self._stopping = False
         self._poll = poll_interval
-        self._retired: set[int] = set()
+        # high-water mark into engine.finished: entries below it are routed
+        # (the worker clears the list after consuming — a long-running
+        # server must not accumulate every Request ever served)
+        self._consumed = 0
 
     # -- called from HTTP handler threads ------------------------------
 
     def submit(self, prompt_ids: list, **sampling) -> tuple[int, queue.Queue]:
         """Queue a request; returns (req_id, token-event queue).  The queue
         yields lists of token ids and finally the _DONE sentinel."""
+        if not self.is_alive():
+            raise RuntimeError("engine worker is not running")
         out: queue.Queue = queue.Queue()
         done = threading.Event()
         box: dict = {}
         self._mail.put(("submit", (prompt_ids, sampling, out, box, done)))
         self._wake.set()
-        if not done.wait(timeout=300):
-            raise RuntimeError("engine worker did not accept the request "
-                               "(worker dead or device stalled)")
+        waited = 0.0
+        while not done.wait(timeout=1.0):
+            waited += 1.0
+            # fail fast when the worker died instead of stalling the client
+            if not self.is_alive():
+                raise RuntimeError("engine worker died before accepting "
+                                   "the request")
+            if waited >= 300.0:
+                raise RuntimeError("engine worker did not accept the request "
+                                   "(device stalled)")
         return box["req_id"], out
 
     def cancel(self, req_id: int):
@@ -75,11 +88,13 @@ class EngineWorker(threading.Thread):
         self._wake.set()
 
     def shutdown(self):
-        self._stop = True
+        self._stopping = True
         self._wake.set()
 
     def finish_reason(self, req_id: int) -> str:
-        return self._finish_reason.get(req_id, "stop")
+        # read-once: the handler consumes it right after _DONE; popping
+        # keeps the dict from growing with the server's lifetime
+        return self._finish_reason.pop(req_id, "stop")
 
     # -- worker loop ----------------------------------------------------
 
@@ -99,22 +114,29 @@ class EngineWorker(threading.Thread):
                 self.engine.cancel(payload)
 
     def _route_finished(self):
-        for req in self.engine.finished:
+        fin = self.engine.finished
+        while self._consumed < len(fin):
+            req = fin[self._consumed]
+            self._consumed += 1
             rid = req.req_id
-            if rid in self._retired:
-                continue
-            self._retired.add(rid)
-            if req.generated and req.generated[-1] == self.engine.eos_token_id:
-                self._finish_reason[rid] = "stop"
-            else:
+            # the engine strips a trailing eos from .generated before
+            # retiring, so detect an eos/early finish by the unused budget
+            if len(req.generated) >= req.max_new_tokens:
                 self._finish_reason[rid] = "length"
+            else:
+                self._finish_reason[rid] = "stop"
             q = self._events.pop(rid, None)
             if q is not None:
                 q.put(_DONE)
+        if self._consumed:
+            # the worker is the engine's only consumer: drop routed Requests
+            # so a long-running server does not hold every prompt ever served
+            del fin[: self._consumed]
+            self._consumed = 0
 
     def run(self):
         try:
-            while not self._stop:
+            while not self._stopping:
                 self._drain_mail()
                 # a cancel can retire a request without a further step (and
                 # may leave the engine with no work at all) — route its
@@ -139,8 +161,22 @@ class EngineWorker(threading.Thread):
             self._events.clear()
 
 
+# chars process_response may rewrite when the NEXT char turns out CJK
+_PUNCT_HOLD = ",!:;?"
+_PLACEHOLDER = "[[训练时间]]"
+
+
 class _StreamState:
-    """Per-request incremental detokenizer with stop-sequence scanning."""
+    """Per-request incremental detokenizer with stop-sequence scanning.
+
+    Both the SSE and the non-stream paths build their text EXCLUSIVELY from
+    push()/flush() deltas, so the two are equal by construction.  A delta is
+    only emitted once no future token can rewrite it: ``process_response``
+    is not monotonic (a halfwidth punctuation converts to fullwidth when the
+    following char arrives and is CJK; the training-time placeholder is an
+    8→5-char replacement), so a volatile suffix is held back along with
+    potential stop-string prefixes and the partial-UTF8 U+FFFD tail
+    (decoder.py:93-95 semantics)."""
 
     def __init__(self, tokenizer, eos_token_id: int, stop: list[str]):
         self.tokenizer = tokenizer
@@ -149,44 +185,68 @@ class _StreamState:
         self.ids: list[int] = []
         self.emitted = 0  # chars of processed text already sent
         self.stopped = False
+        self.text = ""    # authoritative final text (valid after flush)
+
+    def _processed(self) -> str:
+        return process_response(self.tokenizer.decode(self.ids))
+
+    def _find_stop(self, text: str) -> Optional[int]:
+        hits = [h for h in (text.find(s) for s in self.stop) if h >= 0]
+        return min(hits) if hits else None
+
+    def _stable_len(self, text: str) -> int:
+        """Prefix length that no future token can change."""
+        n = len(text)
+        while n and text[n - 1] == "�":       # partial UTF-8, may complete
+            n -= 1
+        while n and text[n - 1].isspace():    # a final strip() removes these
+            n -= 1
+        while n and text[n - 1] in _PUNCT_HOLD:  # may convert to fullwidth
+            n -= 1
+        for k in range(min(len(_PLACEHOLDER) - 1, n), 0, -1):
+            if text[:n].endswith(_PLACEHOLDER[:k]):
+                n -= k
+                break
+        for s in self.stop:                   # may complete across boundary
+            for k in range(min(len(s) - 1, n), 0, -1):
+                if text[:n].endswith(s[:k]):
+                    n -= k
+                    break
+        return n
 
     def push(self, toks: list[int]) -> Optional[str]:
-        """Absorb decoded tokens; return the new text delta to emit (None
-        when held back: partial UTF-8 tail or potential stop-seq prefix)."""
+        """Absorb decoded tokens; return the stable new text delta (None
+        when everything new is still volatile)."""
         self.ids.extend(t for t in toks if t != self.eos)
-        text = process_response(self.tokenizer.decode(self.ids))
-        if text.endswith("�"):
+        if self.stopped:
             return None
-        for s in self.stop:
-            hit = text.find(s, max(0, self.emitted - len(s) + 1))
-            if hit >= 0:
-                self.stopped = True
-                delta = text[self.emitted:hit]
-                self.emitted = hit
-                return delta or None
-            # hold back a suffix that could grow into this stop string
-            for k in range(len(s) - 1, 0, -1):
-                if text.endswith(s[:k]):
-                    text = text[: len(text) - k]
-                    break
-        if len(text) <= self.emitted:
+        text = self._processed()
+        hit = self._find_stop(text)
+        if hit is not None:
+            self.stopped = True
+            self.text = text[:hit]
+            delta = text[self.emitted:hit]
+            self.emitted = hit
+            return delta or None
+        n = self._stable_len(text)
+        if n <= self.emitted:
             return None
-        delta = text[self.emitted:]
-        self.emitted = len(text)
+        delta = text[self.emitted:n]
+        self.emitted = n
         return delta
 
     def flush(self) -> Optional[str]:
-        """Emit whatever a held-back tail left behind at end of stream."""
+        """End of generation: emit the held-back tail (the trailing U+FFFD
+        of a truncated multi-byte sequence included — the reference's final
+        response keeps it; only mid-stream yields suppress it)."""
         if self.stopped:
             return None
-        text = process_response(self.tokenizer.decode(self.ids))
-        if text.endswith("�"):
-            text = text[:-1]
-        for s in self.stop:
-            hit = text.find(s)
-            if hit >= 0:
-                self.stopped = True
-                text = text[:hit]
+        text = self._processed()
+        hit = self._find_stop(text)
+        if hit is not None:
+            self.stopped = True
+            text = text[:hit]
+        self.text = text
         if len(text) <= self.emitted:
             return None
         delta = text[self.emitted:]
@@ -255,6 +315,7 @@ class GLMAPIServer:
 
     def shutdown(self):
         self.httpd.shutdown()
+        self.httpd.server_close()  # release the listening socket fd
         self.worker.shutdown()
 
     # -- request execution (called from handler threads) ----------------
@@ -307,7 +368,10 @@ def _make_handler(server: GLMAPIServer):
         def _read_body(self) -> dict:
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n) if n else b"{}"
-            return json.loads(raw)
+            body = json.loads(raw)
+            if not isinstance(body, dict):
+                raise ValueError("body must be a JSON object")
+            return body
 
         # -- routes -----------------------------------------------------
 
@@ -317,7 +381,11 @@ def _make_handler(server: GLMAPIServer):
                     {"id": server.model_name, "object": "model",
                      "created": int(time.time()), "owned_by": "chatglm_q_tpu"}]})
             elif self.path in ("/health", "/healthz"):
-                self._json(200, {"status": "ok"})
+                if server.worker.is_alive():
+                    self._json(200, {"status": "ok"})
+                else:
+                    self._json(503, {"status": "error",
+                                     "detail": "engine worker is not running"})
             elif self.path == "/metrics":
                 self._metrics()
             else:
@@ -335,6 +403,8 @@ def _make_handler(server: GLMAPIServer):
                     return self._completions(body, chat=False)
             except ValueError as e:
                 return self._error(400, str(e))
+            except RuntimeError as e:  # worker dead / device stalled
+                return self._error(503, str(e), etype="server_error")
             self._error(404, f"unknown path {self.path}")
 
         def _metrics(self):
@@ -378,19 +448,24 @@ def _make_handler(server: GLMAPIServer):
                 return self._stream(body, chat, oid, rid, state, events,
                                     n_prompt)
 
-            while True:
-                ev = events.get(timeout=600)
-                if ev is _DONE:
-                    break
-                state.push(ev)
-                if state.stopped:
-                    server.worker.cancel(rid)
-                    # drain to the sentinel so the queue is not leaked
-                    while events.get(timeout=600) is not _DONE:
-                        pass
-                    break
+            try:
+                while True:
+                    ev = events.get(timeout=_EVENT_TIMEOUT)
+                    if ev is _DONE:
+                        break
+                    state.push(ev)
+                    if state.stopped:
+                        server.worker.cancel(rid)
+                        # drain to the sentinel so the queue is not leaked
+                        while events.get(timeout=_EVENT_TIMEOUT) is not _DONE:
+                            pass
+                        break
+            except queue.Empty:
+                server.worker.cancel(rid)
+                return self._error(504, "generation timed out",
+                                   etype="server_error")
             state.flush()
-            text = process_response(self.tokenizer_decode(state))
+            text = state.text  # same delta machinery as the SSE path
             reason = "stop" if state.stopped else server.worker.finish_reason(rid)
             usage = {"prompt_tokens": n_prompt,
                      "completion_tokens": len(state.ids),
@@ -406,15 +481,6 @@ def _make_handler(server: GLMAPIServer):
                              "created": int(time.time()),
                              "model": server.model_name,
                              "choices": [choice], "usage": usage})
-
-        def tokenizer_decode(self, state: _StreamState) -> str:
-            text = state.tokenizer.decode(state.ids)
-            text = process_response(text)
-            for s in state.stop:
-                hit = text.find(s)
-                if hit >= 0:
-                    text = text[:hit]
-            return text
 
         def _stream(self, body, chat, oid, rid, state, events, n_prompt):
             self.send_response(200)
@@ -440,18 +506,27 @@ def _make_handler(server: GLMAPIServer):
             try:
                 if chat:
                     chunk({"role": "assistant", "content": ""})
-                while True:
-                    ev = events.get(timeout=600)
-                    if ev is _DONE:
-                        break
-                    delta = state.push(ev)
-                    if delta:
-                        chunk({"content": delta})
-                    if state.stopped:
-                        server.worker.cancel(rid)
-                        while events.get(timeout=600) is not _DONE:
-                            pass
-                        break
+                try:
+                    while True:
+                        ev = events.get(timeout=_EVENT_TIMEOUT)
+                        if ev is _DONE:
+                            break
+                        delta = state.push(ev)
+                        if delta:
+                            chunk({"content": delta})
+                        if state.stopped:
+                            server.worker.cancel(rid)
+                            while events.get(timeout=_EVENT_TIMEOUT) is not _DONE:
+                                pass
+                            break
+                except queue.Empty:
+                    # device stalled mid-stream: cancel and terminate the
+                    # SSE stream cleanly so the client does not hang
+                    server.worker.cancel(rid)
+                    chunk({}, reason="error")
+                    self._write_chunk("data: [DONE]\n\n")
+                    self._write_chunk("")
+                    return
                 tail = state.flush()
                 if tail:
                     chunk({"content": tail})

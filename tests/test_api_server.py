@@ -265,4 +265,64 @@ def test_worker_crash_closes_streams():
     rid, events = w.submit([1, 2, 3])
     assert events.get(timeout=30) is _DONE
     assert w.finish_reason(rid) == "error"
-    assert not w.is_alive() or w._stop is False  # thread exited via finally
+    w.join(timeout=30)
+    assert not w.is_alive()  # thread exited via the finally block
+    # subsequent submits fail FAST (dead-worker check), not after 300 s
+    import time as _time
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError):
+        w.submit([4, 5])
+    assert _time.monotonic() - t0 < 30
+
+
+def test_stream_state_non_monotonic_rewrites():
+    """process_response rewrites already-seen chars (halfwidth punctuation
+    converts when the NEXT char turns out CJK; the 8-char training-time
+    placeholder collapses to 5).  The stable-prefix hold-back must make the
+    concatenated deltas equal the final processed text no matter how the
+    tokens are chunked."""
+    from chatglm_q_tpu.serving.api_server import _StreamState
+    from chatglm_q_tpu.serving.chat import process_response
+
+    pieces = ["abc", ",", "中", "!", "x", "[[训练时", "间]]", "好", ":",
+              "中", " ", " tail ", "�", "中"]
+
+    class PieceTok:
+        def decode(self, ids):
+            return "".join(pieces[i] for i in ids)
+
+    full = process_response(PieceTok().decode(range(len(pieces))))
+    for chunk_len in (1, 2, 3, len(pieces)):
+        st = _StreamState(PieceTok(), eos_token_id=-1, stop=[])
+        out = []
+        for i in range(0, len(pieces), chunk_len):
+            d = st.push(list(range(i, min(i + chunk_len, len(pieces)))))
+            if d:
+                out.append(d)
+        tail = st.flush()
+        if tail:
+            out.append(tail)
+        assert "".join(out) == full == st.text, (chunk_len, out, full)
+
+
+def test_stream_state_stop_across_chunks():
+    """A stop string arriving split across pushes truncates exactly."""
+    from chatglm_q_tpu.serving.api_server import _StreamState
+
+    pieces = ["中中", "ST", "OP", "中中"]
+
+    class PieceTok:
+        def decode(self, ids):
+            return "".join(pieces[i] for i in ids)
+
+    st = _StreamState(PieceTok(), eos_token_id=-1, stop=["STOP"])
+    out = []
+    for i in range(len(pieces)):
+        d = st.push([i])
+        if d:
+            out.append(d)
+    t = st.flush()
+    if t:
+        out.append(t)
+    assert st.stopped
+    assert "".join(out) == "中中" == st.text
