@@ -34,6 +34,10 @@ step sweep_int8_m8 2400 python benchmarks/autotune_sweep.py --kernel int8 --m 8 
 # 3. headline (reads the autotune table via int4_matmul_auto)
 step bench 1800 python bench.py
 
+# 3b. kernel-level trace: DMA/VPU overlap + op attribution (VERDICT #1c);
+# best-effort — the remote profiler may not work through this tunnel
+step profile 1800 python benchmarks/profile_decode.py --steps 16
+
 # 4. batch sweep + decode-v2 + paged decode comparisons
 step fb_batches 3600 python benchmarks/full_bench.py --quants int4g32 --batches 1,8,16,32
 step fb_v2_1k  2400 python benchmarks/full_bench.py --quants int4g32 --batches 1,8 \
