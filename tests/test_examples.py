@@ -125,3 +125,13 @@ def test_api_server_over_checkpoint(tiny_float_ckpt):
         assert isinstance(obj["choices"][0]["message"]["content"], str)
     finally:
         server.shutdown()
+
+
+def test_export_stablehlo_roundtrip(tmp_path, capsys):
+    """C31 analog: the serialized decode step reloads and executes
+    (the script itself performs the deserialize+call round-trip)."""
+    _run_script("examples/export_stablehlo.py",
+                ["--out", str(tmp_path / "d.stablehlo"), "--cache-len", "64"])
+    out = capsys.readouterr().out
+    assert "reload OK" in out
+    assert (tmp_path / "d.stablehlo").stat().st_size > 1000
