@@ -326,3 +326,28 @@ def test_stream_state_stop_across_chunks():
         out.append(t)
     assert st.stopped
     assert "".join(out) == "中中" == st.text
+
+
+def test_api_server_over_paged_engine():
+    """The server is engine-agnostic: same flow over the paged-KV engine
+    (page pool + prefix cache) — greedy output must match the dense one."""
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    params = M.init_params(jax.random.PRNGKey(0), CFG, "none", jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    dense = ServingEngine(load_cfg, params, tokenizer=StubTokenizer(),
+                          max_batch=2, max_seq_len=64, decode_chunk=4, rt=RT)
+    paged = PagedServingEngine(load_cfg, params, tokenizer=StubTokenizer(),
+                               max_batch=2, max_seq_len=64, decode_chunk=4,
+                               rt=RT, page_size=16, num_pages=16,
+                               prefix_cache=True, prefill_chunk_size=16)
+    outs = []
+    for eng in (dense, paged):
+        srv = GLMAPIServer(eng, port=0, model_name="t")
+        srv.start()
+        try:
+            _, obj = _post(srv, "/v1/chat/completions", BODY)
+            outs.append(obj["choices"][0]["message"]["content"])
+        finally:
+            srv.shutdown()
+    assert outs[0] == outs[1]
