@@ -351,3 +351,35 @@ def test_api_server_over_paged_engine():
         finally:
             srv.shutdown()
     assert outs[0] == outs[1]
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_api_server_over_distributed_engine():
+    """BASELINE config-5 serving story end-to-end: HTTP clients →
+    OpenAI server → cross-host engine over a (data=2, model=4) mesh —
+    greedy output matches the single-device dense engine."""
+    from chatglm_q_tpu.parallel import sharding as S
+    from chatglm_q_tpu.serving.dist_engine import DistributedPagedServingEngine
+
+    params = M.init_params(jax.random.PRNGKey(0), CFG, "none", jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    kw = dict(max_batch=4, max_seq_len=64, decode_chunk=4)
+
+    dense = ServingEngine(load_cfg, params, tokenizer=StubTokenizer(),
+                          rt=RT, **kw)
+    mesh = S.make_mesh(2, 4)
+    dist = DistributedPagedServingEngine(
+        load_cfg, S.shard_params(params, mesh, CFG, "none"),
+        tokenizer=StubTokenizer(), mesh=mesh, num_pages=16, page_size=8,
+        prefill_chunk_size=8,
+        rt=TpuRuntimeConfig(use_pallas=False, mesh=mesh), **kw)
+    outs = []
+    for eng in (dense, dist):
+        srv = GLMAPIServer(eng, port=0, model_name="t")
+        srv.start()
+        try:
+            _, obj = _post(srv, "/v1/chat/completions", BODY)
+            outs.append(obj["choices"][0]["message"]["content"])
+        finally:
+            srv.shutdown()
+    assert outs[0] == outs[1]
