@@ -61,8 +61,9 @@ step eng_spec  2400 python benchmarks/engine_bench.py --engine paged --flash \
 step eng_spec_sampled 2400 python benchmarks/engine_bench.py --engine paged --flash \
   --prefill-chunk 256 --speculative-k 7 --sampled 0.8
 
-# 5b. prefill/batch-shape autotune (dequant cost applies at all M;
-# dyn-int8's +44% prefill shows it)
+# 5b. batch/prefill-shape autotune (dequant cost applies at all M;
+# dyn-int8's +44% prefill shows it; batch serving lives at M=16-64)
+step sweep_m64 3600 python benchmarks/autotune_sweep.py --m 64 --budget 8
 step sweep_m256 5400 python benchmarks/autotune_sweep.py --m 256 --budget 8
 
 # 6. GPTQ at 6B shapes

@@ -441,46 +441,67 @@ def _make_handler(server: GLMAPIServer):
                         raise ValueError("only a single prompt is supported")
                     p = p[0]
                 prompt = str(p)
-            rid, n_prompt, state, events = server.generate(prompt, body)
+            n_choices = int(body.get("n", 1) or 1)
+            if n_choices < 1:
+                raise ValueError("n must be >= 1")
             oid = (f"chatcmpl-{next(server._counter)}" if chat
                    else f"cmpl-{next(server._counter)}")
             if body.get("stream"):
+                if n_choices != 1:
+                    raise ValueError("streaming supports n=1")
+                rid, n_prompt, state, events = server.generate(prompt, body)
                 return self._stream(body, chat, oid, rid, state, events,
                                     n_prompt)
 
-            try:
-                while True:
-                    ev = events.get(timeout=_EVENT_TIMEOUT)
-                    if ev is _DONE:
-                        break
-                    state.push(ev)
-                    if state.stopped:
-                        server.worker.cancel(rid)
-                        # drain to the sentinel so the queue is not leaked
-                        while events.get(timeout=_EVENT_TIMEOUT) is not _DONE:
-                            pass
-                        break
-            except queue.Empty:
-                server.worker.cancel(rid)
-                return self._error(504, "generation timed out",
-                                   etype="server_error")
-            state.flush()
-            text = state.text  # same delta machinery as the SSE path
-            reason = "stop" if state.stopped else server.worker.finish_reason(rid)
-            usage = {"prompt_tokens": n_prompt,
-                     "completion_tokens": len(state.ids),
-                     "total_tokens": n_prompt + len(state.ids)}
-            if chat:
-                choice = {"index": 0, "finish_reason": reason,
-                          "message": {"role": "assistant", "content": text}}
-                obj = "chat.completion"
-            else:
-                choice = {"index": 0, "finish_reason": reason, "text": text}
-                obj = "text_completion"
+            # n samples = n engine requests; the continuous-batching engine
+            # decodes them together (per-slot RNG streams make them distinct
+            # when sampling).  Submit all up-front, then gather.
+            gens = [server.generate(prompt, body) for _ in range(n_choices)]
+            n_prompt = gens[0][1]
+            choices = []
+            total_completion = 0
+            for i, (rid, _, state, events) in enumerate(gens):
+                try:
+                    self._gather(rid, state, events)
+                except queue.Empty:
+                    for r, _, _, _ in gens:
+                        server.worker.cancel(r)
+                    return self._error(504, "generation timed out",
+                                       etype="server_error")
+                text = state.text  # same delta machinery as the SSE path
+                reason = ("stop" if state.stopped
+                          else server.worker.finish_reason(rid))
+                total_completion += len(state.ids)
+                if chat:
+                    choices.append({"index": i, "finish_reason": reason,
+                                    "message": {"role": "assistant",
+                                                "content": text}})
+                else:
+                    choices.append({"index": i, "finish_reason": reason,
+                                    "text": text})
+            usage = {"prompt_tokens": n_prompt * n_choices,
+                     "completion_tokens": total_completion,
+                     "total_tokens": n_prompt * n_choices + total_completion}
+            obj = "chat.completion" if chat else "text_completion"
             self._json(200, {"id": oid, "object": obj,
                              "created": int(time.time()),
                              "model": server.model_name,
-                             "choices": [choice], "usage": usage})
+                             "choices": choices, "usage": usage})
+
+        def _gather(self, rid, state, events):
+            """Drain one request's event stream into its _StreamState."""
+            while True:
+                ev = events.get(timeout=_EVENT_TIMEOUT)
+                if ev is _DONE:
+                    break
+                state.push(ev)
+                if state.stopped:
+                    server.worker.cancel(rid)
+                    # drain to the sentinel so the queue is not leaked
+                    while events.get(timeout=_EVENT_TIMEOUT) is not _DONE:
+                        pass
+                    break
+            state.flush()
 
         def _stream(self, body, chat, oid, rid, state, events, n_prompt):
             self.send_response(200)

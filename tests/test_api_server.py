@@ -383,3 +383,22 @@ def test_api_server_over_distributed_engine():
         finally:
             srv.shutdown()
     assert outs[0] == outs[1]
+
+
+def test_n_choices(api):
+    """n>1 fans out to n engine requests batched together; greedy samples
+    are identical, indices ordered, usage summed."""
+    _, ref = _post(api, "/v1/chat/completions", BODY)
+    _, obj = _post(api, "/v1/chat/completions", dict(BODY, n=3))
+    assert [c["index"] for c in obj["choices"]] == [0, 1, 2]
+    expected = ref["choices"][0]["message"]["content"]
+    assert [c["message"]["content"] for c in obj["choices"]] == [expected] * 3
+    u = obj["usage"]
+    assert u["prompt_tokens"] == ref["usage"]["prompt_tokens"] * 3
+    assert u["completion_tokens"] == ref["usage"]["completion_tokens"] * 3
+    # streaming with n>1 is rejected
+    try:
+        _post(api, "/v1/chat/completions", dict(BODY, n=2, stream=True))
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
