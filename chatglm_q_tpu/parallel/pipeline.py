@@ -71,6 +71,9 @@ def pipeline_blocks(
     is masked-psum'd back to every device.  Numerically identical to the
     plain stacked scan (tests/test_pipeline.py).
     """
+    assert mesh is not None and STAGE_AXIS in mesh.axis_names, (
+        f"pipeline parallelism needs a mesh with a '{STAGE_AXIS}' axis "
+        f"(got {None if mesh is None else mesh.axis_names})")
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     S = sizes[STAGE_AXIS]
     L = config.num_layers

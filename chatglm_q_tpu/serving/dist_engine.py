@@ -102,18 +102,48 @@ class DistributedServingEngine(ServingEngine):
 
     def sync_submissions(self, requests: Optional[list] = None, **kwargs):
         """Multi-process request ingestion: host 0 passes its pending
-        request list; every process receives the same (id, prompt) batch
-        and submits it locally, keeping the SPMD loops in lockstep."""
+        request list (strings or token-id lists); every process receives
+        the same batch and submits it locally, keeping the SPMD loops in
+        lockstep.
+
+        ``broadcast_one_to_all`` requires an IDENTICAL pytree structure and
+        array shapes on every process, so variable-length prompts are
+        shipped as one fixed-shape padded int32 matrix behind a (count,
+        maxlen) header that every host enters with the same placeholder
+        shape."""
+        def _norm(prompts):
+            out = []
+            for p in prompts or []:
+                if isinstance(p, str):
+                    assert self.tokenizer is not None, (
+                        "string prompts need an engine tokenizer")
+                    out.append(self.tokenizer.encode(p))
+                else:
+                    out.append([int(t) for t in p])
+            return out
+
         if jax.process_count() == 1:
-            for prompt in requests or []:
-                self.submit(prompt, **kwargs)
+            for ids in _norm(requests):
+                self.submit(ids, **kwargs)
             return
         from jax.experimental import multihost_utils
 
-        payload = requests if jax.process_index() == 0 else None
-        payload = multihost_utils.broadcast_one_to_all(payload)
-        for prompt in payload or []:
-            self.submit(list(prompt), **kwargs)
+        src = jax.process_index() == 0
+        prompts = _norm(requests) if src else []
+        header = np.asarray(
+            [len(prompts), max((len(p) for p in prompts), default=0)],
+            np.int32)
+        header = np.asarray(multihost_utils.broadcast_one_to_all(header))
+        n, maxlen = int(header[0]), int(header[1])
+        if n == 0 or maxlen == 0:
+            return
+        mat = np.full((n, maxlen), -1, np.int32)  # ids are >= 0; -1 = pad
+        if src:
+            for i, p in enumerate(prompts):
+                mat[i, : len(p)] = p
+        mat = np.asarray(multihost_utils.broadcast_one_to_all(mat))
+        for row in mat:
+            self.submit([int(t) for t in row if t >= 0], **kwargs)
 
 
 class DistributedPagedServingEngine(PagedServingEngine):
@@ -197,12 +227,8 @@ class DistributedPagedServingEngine(PagedServingEngine):
         )
         self.cache = jax.tree.map(jax.device_put, self.cache, pool_shardings)
 
-    @property
-    def _group_size(self) -> int:
-        return self.max_batch // self.n_data
-
-    def _shard_of(self, slot_idx: int) -> int:
-        return self._slot_group(slot_idx)
+    # slot→shard mapping: the inherited PagedServingEngine._slot_group is
+    # the single canonical formula (slot // (max_batch // n_data))
 
     def _admit(self):
         """Prefix-affinity admission: route each queued request to the data

@@ -241,6 +241,15 @@ class ServingEngine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(s.request for s in self.slots)
 
+    @staticmethod
+    def _sort_width(top_ks) -> int:
+        """Static top-k sort width: smallest power-of-two bucket covering
+        the batch's largest per-request top_k (>=100 keeps one compiled
+        sampling program for the default)."""
+        import numpy as _np
+        mx = int(_np.asarray(top_ks).max())
+        return 100 if mx <= 100 else 1 << (mx - 1).bit_length()
+
     def _bucket(self, n: int) -> int:
         b = 16
         while b < n:
@@ -391,8 +400,7 @@ class ServingEngine:
             np.int32,
         )
 
-        # static sort width: smallest power-of-two bucket covering the batch
-        sort_k = 100 if top_ks.max() <= 100 else 1 << int(top_ks.max() - 1).bit_length()
+        sort_k = self._sort_width(top_ks)
         self._rng, sub = jax.random.split(self._rng)
         toks, self.cache = self._decode_chunk(
             self.params,

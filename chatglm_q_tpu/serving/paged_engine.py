@@ -32,6 +32,15 @@ from ..ops.sampling import top_p_sampling, greedy_sampling
 from .engine import ServingEngine
 
 
+@partial(jax.jit, static_argnames="n", donate_argnums=(0,))
+def _tokbuf_write(tokbuf, row, start, vals, count, n):
+    """tokbuf[row, start:start+count] = vals[:count] with DEVICE scalars for
+    (row, start, count): one compiled program covers every slot/offset."""
+    idx = start + jnp.arange(n)
+    idx = jnp.where(jnp.arange(n) < count, idx, tokbuf.shape[1])  # OOB→drop
+    return tokbuf.at[row, idx].set(vals, mode="drop")
+
+
 class PagedServingEngine(ServingEngine):
     # distributed subclass: decode the whole slot batch (static slot→shard
     # groups) instead of a compacted active subset
@@ -171,6 +180,25 @@ class PagedServingEngine(ServingEngine):
         def shortage():
             return any(len(frees[m]) < need[m]
                        for m in range(self._n_phase))
+
+        if shortage():
+            # evict only if eviction can actually cover the shortage: a page
+            # also held by an active slot stays allocated after its registry
+            # reference drops, so popping the whole LRU could free ZERO
+            # pages while wiping the prefix cache the next requests need
+            if not lru:
+                return None
+            import collections as _c
+            reg_refs = _c.Counter()
+            for pages in lru.values():
+                reg_refs.update(pages)
+            potential = [0] * self._n_phase
+            for p, r in reg_refs.items():
+                if self._page_refs.get(p, 0) == r:  # registry-only refs
+                    potential[(p // self._sub_pages) % self._n_phase] += 1
+            if any(len(frees[m]) + potential[m] < need[m]
+                   for m in range(self._n_phase)):
+                return None
 
         while shortage() and lru:
             key, pages = lru.popitem(last=False)
@@ -414,7 +442,7 @@ class PagedServingEngine(ServingEngine):
         top_ks = per_row("top_k", 1, np.int32)
         first = np.array([self._last_tok[b] for b in slots], np.int32)
         garb = self._garbage[np.asarray(slots)]
-        sort_k = 100 if top_ks.max() <= 100 else 1 << int(top_ks.max() - 1).bit_length()
+        sort_k = self._sort_width(top_ks)
         self._rng, sub = jax.random.split(self._rng)
         toks, self.cache = self._decode_chunk_compact(
             self.params, self.cache, jnp.asarray(first), sub,
@@ -435,12 +463,17 @@ class PagedServingEngine(ServingEngine):
                 # speculative chunks (this chunk ran the plain path).
                 # Cache positions gained this chunk hold the previous
                 # pending token + all but the last emitted one (the new
-                # pending token is not placed yet).
+                # pending token is not placed yet).  ONE jitted program
+                # serves every (slot, offset, count): eager .at[] slices
+                # with python-int bounds would bake a fresh executable per
+                # slot per chunk (minutes each on remote-compile tunnels).
                 placed = [prev_pending] + res[1][:-1]
                 l_after = int(self._host_lengths[b])
-                self._tokbuf = self._tokbuf.at[
-                    b, l_after - len(placed) : l_after
-                ].set(jnp.asarray(placed, jnp.int32))
+                vals = np.zeros((n,), np.int32)
+                vals[: len(placed)] = placed
+                self._tokbuf = _tokbuf_write(
+                    self._tokbuf, b, l_after - len(placed),
+                    jnp.asarray(vals), len(placed), n)
         self.stats["steps"] += 1
         self.stats["decode_chunks"] += 1
         return out
@@ -460,8 +493,7 @@ class PagedServingEngine(ServingEngine):
             temps = per_row("temperature", 0.0, jnp.float32)
             tops = per_row("top_p", 1.0, jnp.float32)
             top_ks = per_row("top_k", 1, jnp.int32)
-            mx = int(np.asarray(top_ks).max())
-            sort_k = 100 if mx <= 100 else 1 << (mx - 1).bit_length()
+            sort_k = self._sort_width(top_ks)
             self._rng, sub = jax.random.split(self._rng)
             extra = dict(rng=sub, sampling=(temps, tops, top_ks),
                          top_k=sort_k)
@@ -503,6 +535,23 @@ class PagedServingEngine(ServingEngine):
         tokens = min(max(bucket, n_ids + req.max_new_tokens + slack),
                      self.max_seq_len)
         return -(-tokens // self.page_size)
+
+    def submit(self, prompt_ids: list, **kwargs) -> int:
+        """Reject a request that can NEVER fit one group's page pool —
+        otherwise it would sit at the queue head with _try_admit returning
+        False forever while has_work stays True (admission livelock)."""
+        rid = super().submit(prompt_ids, **kwargs)
+        req = self.queue[-1]
+        need = self._pages_needed(req)
+        worst_per_phase = -(-need // self._n_phase)
+        usable = self._sub_pages - 1  # one garbage page per sub-pool
+        if worst_per_phase > usable:
+            self.queue.pop()
+            raise ValueError(
+                f"request needs {need} KV pages (≥{worst_per_phase}/phase) "
+                f"but a group's sub-pool holds only {usable} usable pages — "
+                f"raise num_pages or lower max_new_tokens/prompt length")
+        return rid
 
     def _admit(self):
         for slot_idx, slot in enumerate(self.slots):

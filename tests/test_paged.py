@@ -280,3 +280,76 @@ def test_paged_engine_backpressure_and_recycling(params):
     assert got == want, (got, want)
     assert paged.pages_in_use == 0
     assert sorted(paged._free_pages) == list(range(1, 7))
+
+
+def test_submit_rejects_impossible_request(params):
+    """A request that can never fit the page pool raises at submit instead
+    of livelocking admission (has_work forever True, no progress)."""
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    eng = PagedServingEngine(load_cfg, params, None, max_batch=2,
+                             max_seq_len=64, decode_chunk=4, rt=XLA_RT,
+                             num_pages=2, page_size=PAGE)
+    # pool: 2 pages, 1 garbage -> 1 usable = 16 tokens; this needs 64
+    with pytest.raises(ValueError, match="KV pages"):
+        eng.submit(list(range(40)), max_new_tokens=24)
+    assert not eng.has_work  # rejected request must not linger in the queue
+
+
+def test_alloc_no_pointless_prefix_eviction(params):
+    """When every cached page is also held by an active slot, eviction can
+    free nothing: _alloc must fail WITHOUT wiping the prefix registry."""
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    eng = PagedServingEngine(load_cfg, params, None, max_batch=2,
+                             max_seq_len=64, decode_chunk=4, rt=XLA_RT,
+                             num_pages=4, page_size=PAGE,
+                             prefix_cache=True, prefill_chunk_size=PAGE)
+    # 3 usable pages; request holds all of them (20+20+4-token budget)
+    eng.submit(list(range(20)), max_new_tokens=20)
+    while eng.queue or any(s.pending_ids is not None for s in eng.slots):
+        eng.step()
+        if all(s.request is None for s in eng.slots) and not eng.queue:
+            break
+    assert eng.pages_cached > 0, "prefix registered"
+    before = [dict(lru) for lru in eng._prefix_lrus]
+    # all registry pages are shared with the (still active or not) slot —
+    # force the case: retain pages as a fake active slot if already freed
+    if not eng._slot_pages:
+        pages = list(next(iter(eng._prefix_lrus[0].values())))
+        eng._slot_pages[0] = pages
+        eng._retain(pages)
+    got = eng._alloc(3, 0)
+    assert got is None
+    assert [dict(lru) for lru in eng._prefix_lrus] == before, (
+        "registry must survive a hopeless allocation")
+
+
+def test_sync_submissions_single_process_str(params):
+    """Single-process sync_submissions must tokenize strings, not submit
+    per-character lists."""
+    from chatglm_q_tpu.parallel import sharding as S
+    from chatglm_q_tpu.serving.dist_engine import DistributedServingEngine
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    class Tok:
+        def encode(self, text):
+            return [7, 8, 9]
+
+        def __getitem__(self, piece):
+            return 2
+
+    mesh = S.make_mesh(2, 4)
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    eng = DistributedServingEngine(
+        load_cfg, S.shard_params(params, mesh, CFG, "none"), Tok(),
+        mesh=mesh, max_batch=2, max_seq_len=64, decode_chunk=4,
+        rt=TpuRuntimeConfig(use_pallas=False, mesh=mesh))
+    eng.sync_submissions(["hello"], max_new_tokens=4)
+    assert eng.queue[0].prompt_ids == [7, 8, 9]
+    eng.sync_submissions([[1, 2, 3]], max_new_tokens=4)
+    assert eng.queue[1].prompt_ids == [1, 2, 3]
