@@ -101,10 +101,16 @@ def write_pages(pool, new, layer_idx, page_table, start, aligned=True):
     P = pool.shape[3]
     if new.dtype != pool.dtype:
         new = new.astype(pool.dtype)
+    cap = page_table.shape[1] * P
     if S == 1 or not aligned:
         for b in range(B):
             for t in range(S):
-                pos = start[b] + t
+                # clamp to the row's capacity: in-chunk over-generation past
+                # the table's last slot must overwrite THAT slot (the dense
+                # path's dynamic_update_slice clamp semantics — the host
+                # rolls those tokens back), never wrap pos % P back into
+                # the last page's earlier, still-valid positions
+                pos = jnp.minimum(start[b] + t, cap - 1)
                 blk = pos // P
                 phys = jax.lax.dynamic_index_in_dim(page_table[b], blk, 0,
                                                     keepdims=False)
@@ -229,7 +235,8 @@ def prefill_chunk_paged(
     freqs_cis = M._serving_freqs(config, positions, dtype)
     h = M.quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
 
-    new_lengths = (starts + chunk_valid).astype(jnp.int32)
+    new_lengths = jnp.minimum(starts + chunk_valid,
+                              cache.max_length - 1).astype(jnp.int32)
     if rt.flash_enabled():
         mask5 = ("flash_prefill_chunk", (new_lengths, starts.astype(jnp.int32)))
     else:
@@ -289,5 +296,9 @@ def decode_step_paged(
     logits = M.quant_linear(h[:, 0], params["lm_head"], quant_type, rt)
     logits = logits[..., : config.vocab_size]
 
-    new_cache = cache.replace(k_pool=kp, v_pool=vp, lengths=cache.lengths + 1)
+    # clamp: in-chunk steps past the table capacity keep overwriting the
+    # last slot (host-side rollback discards their tokens) instead of
+    # growing n_valid past what the page table can address
+    new_lengths = jnp.minimum(cache.lengths + 1, cache.max_length - 1)
+    new_cache = cache.replace(k_pool=kp, v_pool=vp, lengths=new_lengths)
     return logits, new_cache

@@ -194,7 +194,12 @@ def speculative_decode_paged(
             accept = jnp.cumprod(eq, axis=1).sum(axis=1)          # (B,)
             nxt = jnp.take_along_axis(
                 jnp.stack(stops_i, axis=1), accept[:, None], axis=1)[:, 0]
-        cache = cache.replace(lengths=(l0 + 1 + accept).astype(jnp.int32))
+        # clamp to capacity: a spec chunk near the wall advances by up to
+        # k+1 — past the table's last slot the writes clamp (write_pages)
+        # and the host rolls the tokens back, so lengths must not grow
+        # past what the page table can address either
+        new_len = jnp.minimum(l0 + 1 + accept, cache.max_length - 1)
+        cache = cache.replace(lengths=new_len.astype(jnp.int32))
         return (nxt, cache, tokbuf), (draft, accept, nxt)
 
     xs = (jax.random.split(rng, n_steps) if sampling is not None

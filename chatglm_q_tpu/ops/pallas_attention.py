@@ -310,8 +310,18 @@ def flash_attention_decode(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, Hg, D), lambda b, g, ki, *_: (b, g, 0, 0)),
-                pl.BlockSpec((1, 1, bk, D), lambda b, g, ki, *_: (b, g, ki, 0)),
-                pl.BlockSpec((1, 1, bk, D), lambda b, g, ki, *_: (b, g, ki, 0)),
+                # clamp the KV block index to the row's LAST VALID block:
+                # Pallas only issues a copy when the index-map output
+                # changes between steps, so the repeated index elides the
+                # DMA for masked blocks — without it every step streams the
+                # full T_max cache and the O(length) claim is false (the
+                # pl.when in the kernel gates only compute, never copies)
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, g, ki, lens: (
+                                 b, g, jnp.minimum(ki, lens[b] // bk), 0)),
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, g, ki, lens: (
+                                 b, g, jnp.minimum(ki, lens[b] // bk), 0)),
             ],
             out_specs=tuple(out_specs) if return_lse else out_specs[0],
             scratch_shapes=[
@@ -406,7 +416,7 @@ def flash_attention_decode_sharded(
 # ---------------------------------------------------------------------------
 
 def _decode_v2_kernel(lengths_ref, q_ref, k_hbm, v_hbm, o_ref,
-                      kbuf, vbuf, acc_ref, sems, *, bk, t_total, hg, d):
+                      kbuf, vbuf, acc_ref, sems, *, bk, hg, d):
     b = pl.program_id(0)
     g = pl.program_id(1)
     n_valid = lengths_ref[b] + 1
@@ -422,8 +432,13 @@ def _decode_v2_kernel(lengths_ref, q_ref, k_hbm, v_hbm, o_ref,
             pltpu.make_async_copy(v_hbm.at[b, g, rows, :], vbuf.at[slot], sems.at[slot, 1]),
         )
 
-    for dma in dmas(0, 0):
-        dma.start()
+    # guard like the paged kernel: lengths == -1 encodes an empty shard
+    # (n_blocks == 0) — an unawaited DMA start would leak a semaphore
+    # increment into the next grid program's waits
+    @pl.when(n_blocks > 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (Hg, D)
 
@@ -486,7 +501,7 @@ def flash_attention_decode_v2(
     vf = v
 
     out = pl.pallas_call(
-        functools.partial(_decode_v2_kernel, bk=bk, t_total=T, hg=Hg, d=D),
+        functools.partial(_decode_v2_kernel, bk=bk, hg=Hg, d=D),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, G),
@@ -542,6 +557,11 @@ def _decode_paged_kernel(lengths_ref, layer_ref, phase_ref, pt_ref, q_ref,
     # stride == 1 (phase 0) is the unsharded path
     n_pages = jnp.maximum(0, jax.lax.div(n_pages_row - phase + stride - 1,
                                          stride))
+    # clamp to the table's capacity: within a chunk the device lengths can
+    # transiently exceed MP*P before the host rolls over-generation back —
+    # without the clamp the loop reads pt_ref[b, MP] (the NEXT row's first
+    # page id, or past the array: an arbitrary-page HBM DMA)
+    n_pages = jnp.minimum(n_pages, pt_ref.shape[1])
 
     def dmas(slot, blk):
         phys = pt_ref[b, blk]
@@ -796,14 +816,7 @@ def flash_attention_decode_paged_msharded(
             q, kp, vp, lyr, ptl, lens, sm_scale, interpret=interpret,
             stride=tp, phase=jnp.full((1,), mi, jnp.int32), return_lse=True,
         )
-        m_all = jax.lax.all_gather(m, model_axis)            # (tp, B, G, Hg)
-        l_all = jax.lax.all_gather(l, model_axis)
-        o_all = jax.lax.all_gather(out.astype(jnp.float32), model_axis)
-        m_max = jnp.max(m_all, axis=0)
-        w = l_all * jnp.exp(m_all - m_max[None])             # 0 where l==0
-        den = jnp.maximum(w.sum(0), 1e-30)
-        merged = (o_all * w[..., None]).sum(0) / den[..., None]
-        return merged.astype(q.dtype)
+        return _merge_lse_partials(out, m, l, model_axis, q.dtype)
 
     fn = shard_map(
         local_fn,
@@ -821,6 +834,20 @@ def flash_attention_decode_paged_msharded(
     )
     return fn(q, k_pool, v_pool, lyr, page_table.astype(jnp.int32),
               lengths.astype(jnp.int32))
+
+
+def _merge_lse_partials(out, m, l, axis_name, dtype):
+    """Exact online-softmax merge of per-shard flash partials (out, m, l)
+    over mesh axis ``axis_name`` — an empty shard contributes l == 0 and
+    drops out of the weighted sum."""
+    m_all = jax.lax.all_gather(m, axis_name)                 # (tp, B, G, Hg)
+    l_all = jax.lax.all_gather(l, axis_name)
+    o_all = jax.lax.all_gather(out.astype(jnp.float32), axis_name)
+    m_max = jnp.max(m_all, axis=0)
+    w = l_all * jnp.exp(m_all - m_max[None])                 # 0 where l==0
+    den = jnp.maximum(w.sum(0), 1e-30)
+    merged = (o_all * w[..., None]).sum(0) / den[..., None]
+    return merged.astype(dtype)
 
 
 def flash_attention_decode_kv_tsharded(
@@ -861,15 +888,7 @@ def flash_attention_decode_kv_tsharded(
             q, k, v, n_valid_local - 1, sm_scale, block_k,
             interpret=interpret, return_lse=True,
         )
-        # exact online-softmax merge of the tp partials
-        m_all = jax.lax.all_gather(m, model_axis)            # (tp, B, G, Hg)
-        l_all = jax.lax.all_gather(l, model_axis)
-        o_all = jax.lax.all_gather(out.astype(jnp.float32), model_axis)
-        m_max = jnp.max(m_all, axis=0)
-        w = l_all * jnp.exp(m_all - m_max[None])             # 0 where l==0
-        den = jnp.maximum(w.sum(0), 1e-30)
-        merged = (o_all * w[..., None]).sum(0) / den[..., None]
-        return merged.astype(q.dtype)
+        return _merge_lse_partials(out, m, l, model_axis, q.dtype)
 
     fn = shard_map(
         local_fn,

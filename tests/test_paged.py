@@ -353,3 +353,60 @@ def test_sync_submissions_single_process_str(params):
     assert eng.queue[0].prompt_ids == [7, 8, 9]
     eng.sync_submissions([[1, 2, 3]], max_new_tokens=4)
     assert eng.queue[1].prompt_ids == [1, 2, 3]
+
+
+def test_decode_to_the_wall_matches_dense(params):
+    """In-chunk over-generation past max_seq_len: device lengths/writes must
+    clamp at the table's last slot (never wrap into valid pages), and the
+    emitted tokens must match the dense engine's wall behavior."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    kw = dict(max_batch=1, max_seq_len=32, decode_chunk=8, rt=XLA_RT)
+    prompt = [3, 17, 42, 99, 5, 8, 1, 9, 4, 11, 12, 13, 14, 15, 16, 17, 18]
+
+    def run(eng):
+        eng.submit(prompt, max_new_tokens=30, temperature=0.0)
+        steps = 0
+        while eng.has_work:
+            eng.step()
+            steps += 1
+            assert steps < 100
+        return eng.finished[0].generated
+
+    dense = run(ServingEngine(load_cfg, params, None, **kw))
+    paged = run(PagedServingEngine(load_cfg, params, None, num_pages=4,
+                                   page_size=16, **kw))
+    assert len(dense) == len(paged)
+    assert dense == paged, (dense, paged)
+    # the final decode chunk crosses the wall: device positions past
+    # max_seq_len-1 are clamped writes whose tokens the host rolls back —
+    # the engine's total sequence (sliced prompt + generated) fits exactly
+    assert len(dense) <= 30
+
+
+def test_spec_decode_to_the_wall(params):
+    """Speculative chunks near the wall advance by up to k+1 per step —
+    lengths and page writes must clamp at capacity, tokens exact vs plain."""
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    kw = dict(max_batch=1, max_seq_len=32, decode_chunk=4, rt=XLA_RT,
+              num_pages=4, page_size=16)
+    # a repetitive prompt encourages n-gram drafts (spec path actually fires)
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+
+    def run(spec_k):
+        eng = PagedServingEngine(load_cfg, params, None,
+                                 speculative_k=spec_k, **kw)
+        eng.submit(prompt, max_new_tokens=30, temperature=0.0)
+        steps = 0
+        while eng.has_work:
+            eng.step()
+            steps += 1
+            assert steps < 100
+        return eng.finished[0].generated
+
+    plain, spec = run(0), run(4)
+    assert plain == spec, (plain, spec)
