@@ -157,6 +157,23 @@ def main():
     want = PA.flash_attention_decode(qd, dk, dv, lengths, sm)
     check("flash_decode_paged", got, want, rtol=5e-2, atol=5e-2)
 
+    # paged chunk attention (speculative-verify hot path: S queries per row
+    # at absolute offsets, pages DMA'd — no gather)
+    S_ = 8
+    qc = jax.random.normal(jax.random.PRNGKey(15), (B, S_, G_, Hg, D), jnp.bfloat16)
+    starts = jnp.asarray([100, 1000], jnp.int32)
+    got = PA.flash_attention_chunk_paged(
+        qc, pool_k, pool_v, jnp.int32(1), pt, starts, sm)
+    # oracle: masked softmax over the gathered dense view
+    sx = jnp.einsum("bsghd,bgtd->bghst", qc.astype(jnp.float32),
+                    dk.astype(jnp.float32)) * sm
+    tq = starts[:, None, None, None, None] + jnp.arange(S_)[None, None, None, :, None]
+    tk2 = jnp.arange(dk.shape[2])[None, None, None, None, :]
+    want = jnp.einsum("bghst,bgtd->bsghd",
+                      jax.nn.softmax(jnp.where(tk2 <= tq, sx, -1e30), -1),
+                      dv.astype(jnp.float32))
+    check("flash_chunk_paged", got, want, rtol=5e-2, atol=5e-2)
+
     # dynamic-activation int8 (s8×s8 MXU)
     got = PM.int8_dyn_matmul_pallas(x, w8, s8)
     want = x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8)

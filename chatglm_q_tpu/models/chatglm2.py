@@ -307,19 +307,31 @@ def block_forward(
             else:
                 chunk_lengths, chunk_starts = lengths
                 chunk_rmap = None
-            if paged:
-                from . import paged_kv as PK
+            if paged and rt.mesh is None and S * Hg <= 512:
+                # small chunks (speculative verify runs this EVERY step):
+                # attend the pool directly — page DMAs are O(start + S)
+                # per layer, vs gather_layer materializing the whole
+                # (B, G, MP·P, D) view per layer per step
+                ctx = PA.flash_attention_chunk_paged(
+                    q, kv_out[0], kv_out[1], kv_write.layer_idx,
+                    kv_write.page_table, chunk_starts, sm_scale,
+                    row_map=chunk_rmap,
+                )
+                attn_in_tap = ctx.reshape(B, S, G * Hg * D)
+            else:
+                if paged:
+                    from . import paged_kv as PK
 
-                kc = PK.gather_layer(kv_out[0], kv_write.layer_idx,
-                                     kv_write.page_table).astype(q.dtype)
-                vc = PK.gather_layer(kv_out[1], kv_write.layer_idx,
-                                     kv_write.page_table).astype(q.dtype)
-            ctx = PA.flash_attention_prefill(
-                q, kc, vc, chunk_lengths, sm_scale,
-                rt.attn_block_q, rt.attn_block_k, q_starts=chunk_starts,
-                kv_row_map=chunk_rmap,
-            )
-            attn_in_tap = ctx.reshape(B, S, G * Hg * D)
+                    kc = PK.gather_layer(kv_out[0], kv_write.layer_idx,
+                                         kv_write.page_table).astype(q.dtype)
+                    vc = PK.gather_layer(kv_out[1], kv_write.layer_idx,
+                                         kv_write.page_table).astype(q.dtype)
+                ctx = PA.flash_attention_prefill(
+                    q, kc, vc, chunk_lengths, sm_scale,
+                    rt.attn_block_q, rt.attn_block_k, q_starts=chunk_starts,
+                    kv_row_map=chunk_rmap,
+                )
+                attn_in_tap = ctx.reshape(B, S, G * Hg * D)
         elif kind == "flash_prefill":
             if rt.mesh is not None and rt.kv_shard_t:
                 # sequence-parallel ring attention over the model axis: q/k/v

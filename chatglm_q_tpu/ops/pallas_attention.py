@@ -704,6 +704,129 @@ def flash_attention_decode_paged(
     return res
 
 
+def _chunk_paged_kernel(starts_ref, lyr_ref, pt_ref, q_ref, k_hbm, v_hbm,
+                        o_ref, kbuf, vbuf, sems, *, p, s_chunk, hg, d):
+    """S_chunk queries per row at absolute offsets against the paged pool —
+    the speculative-verify / small-chunk-prefill counterpart of
+    _decode_paged_kernel (same double-buffered page DMA; query t of row b
+    attends logical positions 0..starts[b]+t)."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    lyr = lyr_ref[0]
+    start = starts_ref[b]
+    # every chunk position is already written to the pool (block_forward
+    # writes K/V before attention), so pages cover start + s_chunk tokens;
+    # clamped to the table width (capacity overruns clamp-write there)
+    n_pages = jax.lax.div(start + s_chunk + p - 1, p)
+    n_pages = jnp.minimum(n_pages, pt_ref.shape[1])
+
+    def dmas(slot, blk):
+        phys = pt_ref[b, blk]
+        return (
+            pltpu.make_async_copy(k_hbm.at[lyr, phys, g], kbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[lyr, phys, g], vbuf.at[slot], sems.at[slot, 1]),
+        )
+
+    for dma in dmas(0, 0):  # n_pages >= 1 (start >= 0, s_chunk >= 1)
+        dma.start()
+
+    q = q_ref[0, 0].astype(jnp.float32)          # (s_chunk*hg, d), pre-scaled
+
+    def body(blk, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < n_pages)
+        def _():
+            for dma in dmas(nxt, blk + 1):
+                dma.start()
+
+        for dma in dmas(slot, blk):
+            dma.wait()
+
+        k = kbuf[slot].astype(jnp.float32)       # (P, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                        # (s_chunk*hg, P)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk * p
+        qpos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // hg
+        s = jnp.where(cols <= qpos, s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        pr = jnp.exp(s - m_next)
+        l = alpha * l + jnp.sum(pr, axis=1, keepdims=True)
+        v = vbuf[slot].astype(jnp.float32)
+        acc = acc * alpha + jnp.dot(pr, v, preferred_element_type=jnp.float32)
+        return m_next, l, acc
+
+    rows = s_chunk * hg
+    m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    ls = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / ls).astype(o_ref.dtype)
+
+
+def flash_attention_chunk_paged(
+    q: jax.Array,           # (B, S, G, Hg, D) chunk queries
+    k_pool: jax.Array,      # (L, NP, G, P, D) in HBM
+    v_pool: jax.Array,
+    layer_idx: jax.Array,
+    page_table: jax.Array,  # (B, MP)
+    starts: jax.Array,      # (B,) absolute offset of query 0
+    sm_scale: float,
+    row_map: jax.Array | None = None,  # (B,) compact row → cache row
+    interpret: bool | None = None,
+):
+    """Chunk attention directly over the paged pool: query t of row b
+    attends logical positions 0..starts[b]+t, pages DMA'd once per (row,
+    group) — O(start + S) HBM reads per layer instead of materializing the
+    whole (B, G, MP·P, D) pool view (gather_layer) per layer per step,
+    which dominated the speculative-verify hot path.  Returns
+    (B, S, G, Hg, D).  Use when S·Hg fits a VMEM tile (≤ ~512 rows);
+    larger prefill chunks keep the gathered-dense flash path."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    B, S, G, Hg, D = q.shape
+    P = k_pool.shape[3]
+    if row_map is not None:
+        page_table = jnp.take(page_table, row_map, axis=0)
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qs = qs.transpose(0, 2, 1, 3, 4).reshape(B, G, S * Hg, D)
+    lyr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_chunk_paged_kernel, p=P, s_chunk=S, hg=Hg, d=D),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, G),
+            in_specs=[
+                pl.BlockSpec((1, 1, S * Hg, D), lambda b, g, *_: (b, g, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, S * Hg, D),
+                                   lambda b, g, *_: (b, g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, P, D), k_pool.dtype),
+                pltpu.VMEM((2, P, D), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, S * Hg, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), lyr, page_table.astype(jnp.int32),
+      qs, k_pool, v_pool)
+    return out.reshape(B, G, S, Hg, D).transpose(0, 2, 1, 3, 4)
+
+
 def flash_attention_decode_paged_sharded(
     q, k_pool, v_pool, layer_idx, page_table, lengths, sm_scale, mesh,
     data_axis="data", model_axis="model", interpret=None,

@@ -410,3 +410,31 @@ def test_spec_decode_to_the_wall(params):
 
     plain, spec = run(0), run(4)
     assert plain == spec, (plain, spec)
+
+
+def test_chunk_paged_kernel_vs_oracle():
+    """flash_attention_chunk_paged (spec-verify hot path) vs the masked
+    softmax over the gathered dense view, ragged starts incl. page edges."""
+    from chatglm_q_tpu.ops.pallas_attention import flash_attention_chunk_paged
+
+    rng = np.random.RandomState(3)
+    L, NP, G, P, D, Hg, B, MP, S = 2, 17, 2, 16, 16, 2, 4, 4, 5
+    pool_k = jnp.asarray(rng.randn(L, NP, G, P, D), jnp.float32)
+    pool_v = jnp.asarray(rng.randn(L, NP, G, P, D), jnp.float32)
+    pt = jnp.asarray(rng.permutation(NP - 1)[: B * MP].reshape(B, MP) + 1,
+                     jnp.int32)
+    q = jnp.asarray(rng.randn(B, S, G, Hg, D), jnp.float32)
+    starts = jnp.asarray([0, 14, 31, 59 - S], jnp.int32)  # page-edge cases
+    sm = 1.0 / np.sqrt(D)
+    for layer in range(L):
+        got = flash_attention_chunk_paged(
+            q, pool_k, pool_v, jnp.int32(layer), pt, starts, sm,
+            interpret=True)
+        dk = PK.gather_layer(pool_k, jnp.int32(layer), pt)
+        dv = PK.gather_layer(pool_v, jnp.int32(layer), pt)
+        s = jnp.einsum("bsghd,bgtd->bghst", q, dk) * sm
+        tq = starts[:, None, None, None, None] + jnp.arange(S)[None, None, None, :, None]
+        tk = jnp.arange(dk.shape[2])[None, None, None, None, :]
+        want = jnp.einsum("bghst,bgtd->bsghd",
+                          jax.nn.softmax(jnp.where(tk <= tq, s, -1e30), -1), dv)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
