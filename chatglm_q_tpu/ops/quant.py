@@ -207,11 +207,13 @@ def pad_int8_weight(q: jax.Array) -> jax.Array:
     return jnp.pad(q, ((0, Ks - K), (0, 0)))
 
 
-def pad_linear_n(p: dict, quant_type: str, multiple: int | None = None) -> dict:
+def pad_linear_n(p: dict, quant_type: str = "", multiple: int | None = None) -> dict:
     """Zero-pad a quantized linear param dict's output (N) dimension to the
     kernel-aligned storage size (default: the K rule, int4_storage_k; or an
     explicit ``multiple`` — the lm_head pads 65024 → 65536 so the widest
-    matmul tiles at bn 2048 instead of 512).
+    matmul tiles at bn 2048 instead of 512).  ``quant_type`` is accepted
+    for call-site symmetry but unused: the rule dispatches on the params'
+    own shapes/dtypes (scale ndim).
 
     Only valid where the consumer tolerates extra zero outputs — the ffn
     w_in_h / w_in_gate pair (padded columns produce silu(0)*0 = 0

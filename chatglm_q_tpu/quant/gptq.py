@@ -185,11 +185,23 @@ def _sweep_int4(weight_nk, hinv_u, blocksize=128, groupsize=32):
 # Public API
 # ---------------------------------------------------------------------------
 
+def _check_hinv(hinv_u):
+    """Reference guard (int8/quantizer.py:115): a numerically non-PSD
+    Hessian makes cholesky return NaN, which would silently quantize the
+    layer to garbage — abort with a diagnostic instead (eager call site,
+    one scalar fetch)."""
+    if bool(jnp.isnan(hinv_u).any()):
+        raise FloatingPointError(
+            "GPTQ Hessian Cholesky produced NaN (non-PSD after damping) — "
+            "raise percdamp or check the calibration activations")
+
+
 def gptq_quantize_int8(weight_nk, hessian, blocksize=128, percdamp=0.01):
     """Returns (grid_weight (N, K) f32 on the int8 grid, scale (N,), mean
     quant loss) — reference int8/quantizer.py:94-149."""
     _, scale = _naive_scale_int8(weight_nk)
     hessian, weight_nk, hinv_u = _prepare_hinv(hessian, weight_nk, percdamp)
+    _check_hinv(hinv_u)
     grid, losses = _sweep_int8(weight_nk, hinv_u, scale, blocksize)
     return grid, scale, float(jnp.mean(losses))
 
@@ -198,6 +210,7 @@ def gptq_quantize_int4(weight_nk, hessian, blocksize=128, groupsize=32, percdamp
     """Returns (grid_weight (N, K) f32, scales (K/groupsize, N), 0.0) —
     reference int4/quantizer.py:117-181."""
     hessian, weight_nk, hinv_u = _prepare_hinv(hessian, weight_nk, percdamp)
+    _check_hinv(hinv_u)
     grid, scales = _sweep_int4(weight_nk, hinv_u, blocksize, groupsize)
     return grid, scales, 0.0
 

@@ -69,7 +69,12 @@ class PrecompiledCharsmap:
             if (u & 0x800000FF) != data[i]:
                 break
             unit_pos ^= _unit_offset(u)
+            # NOTE: unit_pos here is the child's BASE, which may legally lie
+            # past the array when only its base^label slots are materialized
+            # — bounds-check only where it is actually read (the leaf value)
             if (u >> 8) & 1:  # has_leaf
+                if unit_pos >= len(units):  # truncated/corrupt blob
+                    break
                 value = units[unit_pos] & 0x7FFFFFFF
                 best = (i + 1 - pos, self._replacement(value))
         return best
@@ -123,6 +128,12 @@ def _build_double_array(keys_values: Dict[bytes, int]) -> list[int]:
 
     units = [0]
     used = [True]  # pos 0 = root
+    # every node's base must be UNIQUE, not merely its child slots: two
+    # nodes sharing a base make traversal from one falsely descend into the
+    # other's children (slot = base ^ label and the slot's own-label check
+    # passes for both parents) — darts-clone reserves used offsets for the
+    # same reason
+    used_base: set[int] = set()
 
     def ensure(n: int) -> None:
         while len(units) <= n:
@@ -141,12 +152,15 @@ def _build_double_array(keys_values: Dict[bytes, int]) -> list[int]:
             base = pos ^ offset
             cand = [base ^ c for c in slots]
             ensure(max(cand, default=0))
-            if all(not used[c] for c in cand) and offset < (1 << 21):
+            if (base not in used_base
+                    and all(not used[c] for c in cand)
+                    and offset < (1 << 21)):
                 break
             offset += 1
             if offset >= (1 << 21):
                 raise ValueError("charsmap trie too large for direct offsets")
         base = pos ^ offset
+        used_base.add(base)
         for c in cand:
             used[c] = True
         units[pos] = (offset << 10) | (int(has_leaf) << 8) | own_label

@@ -68,6 +68,10 @@ class SpTokenizer:
 
                 if native_available():
                     self._native = NativeEncoder(model)
+                elif use_native:
+                    raise RuntimeError(
+                        "native tokenizer core requested but not built "
+                        "(make -C native/sptok)")
             except Exception:
                 if use_native:
                     raise
@@ -83,15 +87,8 @@ class SpTokenizer:
             for i, p in enumerate(self.pieces):
                 if p.type == PIECE_BYTE:
                     self._byte_id[int(p.piece[1:-1], 16)] = i
-        # prefix trie as nested dicts {char: (id|None, children)}
+        # prefix trie as nested dicts {char: [id|None, children]}
         self._trie = {}
-        for i, p in enumerate(self.pieces):
-            if p.type in (PIECE_NORMAL, PIECE_USER_DEFINED):
-                node = self._trie
-                for ch in p.piece:
-                    node = node.setdefault(ch, [None, {}])[1]
-                # store id at the terminal: walk again to set
-        # second pass to store terminal ids (setdefault above loses handle)
         for i, p in enumerate(self.pieces):
             if p.type in (PIECE_NORMAL, PIECE_USER_DEFINED):
                 node = self._trie
@@ -101,6 +98,19 @@ class SpTokenizer:
                     node = entry[1]
                 if entry is not None:
                     entry[0] = i
+        # BPE merge vocabulary: pieces raw text may match — NORMAL /
+        # USER_DEFINED / UNUSED (intermediate merges); never CONTROL /
+        # BYTE / UNKNOWN (text must not inject reserved ids)
+        self._merge_id = {
+            p.piece: i for i, p in enumerate(self.pieces)
+            if p.type in (PIECE_NORMAL, PIECE_USER_DEFINED, PIECE_UNUSED)
+        }
+        # constant of the model: min SCORED piece score minus the unk
+        # penalty (sentencepiece's min_score ranges over normal pieces —
+        # control/byte pieces carry placeholder scores)
+        scored = [p.score for p in self.pieces
+                  if p.type in (PIECE_NORMAL, PIECE_USER_DEFINED)]
+        self._unk_score = (min(scored) if scored else 0.0) - _UNK_PENALTY
 
     # -- identity ----------------------------------------------------------
 
@@ -168,7 +178,7 @@ class SpTokenizer:
         best = [NEG] * (n + 1)
         back: list[Optional[tuple[int, object]]] = [None] * (n + 1)
         best[0] = 0.0
-        unk_score = min(self._scores, default=0.0) - _UNK_PENALTY
+        unk_score = self._unk_score
         for i in range(n):
             if best[i] == NEG:
                 continue
@@ -208,60 +218,71 @@ class SpTokenizer:
         return out
 
     def _encode_bpe(self, text: str) -> list[int]:
-        """Greedy best-scoring merge of adjacent symbols (spm BPE)."""
-        # symbols as linked list over initial characters
+        """Greedy best-scoring merge of adjacent symbols (spm BPE).
+
+        Only NORMAL / USER_DEFINED / UNUSED pieces participate in matching
+        (``_merge_id``): raw text must never produce CONTROL/BYTE/UNKNOWN
+        ids (sentencepiece semantics — otherwise user text containing e.g.
+        "</s>" would inject the eos id).  A merged symbol whose piece is
+        UNUSED resegments into its merge constituents via the recorded
+        merge history, like sentencepiece's bpe_model resegmentation."""
         syms = list(text)
-        nxt = list(range(1, len(syms) + 1))
-        prv = list(range(-1, len(syms)))
-        alive = [True] * len(syms)
-
-        def pair_id(i: int) -> Optional[int]:
-            j = nxt[i]
-            if j >= len(syms):
-                return None
-            merged = syms[i] + syms[j]
-            return self._piece_to_id.get(merged)
-
-        heap: list[tuple[float, int, int, str]] = []
+        n = len(syms)
+        nxt = list(range(1, n + 1))
+        prv = list(range(-1, n))
+        alive = [True] * n
+        # merge history: leaf = its character; node = (left, right, string)
+        tree: list = [("leaf", ch, ch) for ch in syms]
+        mid = self._merge_id
 
         def push(i: int):
-            pid = pair_id(i)
+            j = nxt[i]
+            if j >= n:
+                return
+            merged = syms[i] + syms[j]
+            pid = mid.get(merged)
             if pid is not None:
-                heapq.heappush(heap, (-self._scores[pid], i, pid, syms[i] + syms[nxt[i]]))
+                heapq.heappush(heap, (-self._scores[pid], i, pid, merged))
 
-        for i in range(len(syms) - 1):
+        heap: list[tuple[float, int, int, str]] = []
+        for i in range(n - 1):
             push(i)
 
         while heap:
             negscore, i, pid, merged = heapq.heappop(heap)
-            if not alive[i] or nxt[i] >= len(syms) or not alive[nxt[i]]:
+            if not alive[i] or nxt[i] >= n or not alive[nxt[i]]:
                 continue
             if syms[i] + syms[nxt[i]] != merged:
                 continue  # stale entry
             j = nxt[i]
+            tree[i] = ("node", tree[i], tree[j], merged)
             syms[i] = merged
             alive[j] = False
             nxt[i] = nxt[j]
-            if nxt[i] < len(syms):
+            if nxt[i] < n:
                 prv[nxt[i]] = i
             push(i)
             if prv[i] >= 0:
                 push(prv[i])
 
         out: list[int] = []
+
+        def emit(t):
+            s = t[3] if t[0] == "node" else t[1]
+            pid = mid.get(s)
+            if pid is not None and self.pieces[pid].type in (
+                    PIECE_NORMAL, PIECE_USER_DEFINED):
+                out.append(pid)
+            elif t[0] == "node":  # UNUSED (or unemittable): resegment
+                emit(t[1])
+                emit(t[2])
+            else:
+                out.extend(self._char_fallback(s))
+
         i = 0
-        while i < len(syms):
+        while i < n:
             if alive[i]:
-                pid = self._piece_to_id.get(syms[i])
-                if pid is not None and self.pieces[pid].type != PIECE_UNUSED:
-                    out.append(pid)
-                else:
-                    for ch in syms[i]:
-                        pid2 = self._piece_to_id.get(ch)
-                        if pid2 is not None:
-                            out.append(pid2)
-                        else:
-                            out.extend(self._char_fallback(ch))
+                emit(tree[i])
             i = nxt[i] if nxt[i] > i else i + 1
         return out
 
@@ -275,7 +296,7 @@ class SpTokenizer:
             p = self.pieces[idx]
             if p.type == PIECE_BYTE:
                 chunks.append(bytes([int(p.piece[1:-1], 16)]))
-            elif p.type in (PIECE_CONTROL, PIECE_UNUSED):
+            elif p.type == PIECE_CONTROL:
                 continue
             elif p.type == PIECE_UNKNOWN:
                 chunks.append(" ⁇ ".encode("utf-8"))

@@ -13,8 +13,10 @@
 // Model data is passed in pre-parsed (pieces + scores + types) — protobuf
 // parsing stays in Python (cold path).
 
+#include <array>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <limits>
 #include <memory>
 #include <queue>
@@ -44,6 +46,9 @@ struct Model {
   std::vector<float> scores;
   std::vector<int32_t> types;
   std::unordered_map<std::string, int32_t> piece_to_id;
+  // pieces raw text may match (BPE merges): NORMAL/USER_DEFINED/UNUSED —
+  // never CONTROL/BYTE/UNKNOWN (text must not inject reserved ids)
+  std::unordered_map<std::string, int32_t> merge_id;
   int32_t byte_ids[256];
   bool byte_fallback = false;
   int32_t unk_id = 0;
@@ -61,6 +66,10 @@ struct Model {
         int v = std::stoi(pieces[i].substr(3, 2), nullptr, 16);
         byte_ids[v] = (int32_t)i;
         byte_fallback = true;
+      }
+      if (types[i] == kPieceNormal || types[i] == kPieceUserDefined ||
+          types[i] == kPieceUnused) {
+        merge_id.emplace(pieces[i], (int32_t)i);
       }
       if (types[i] == kPieceNormal || types[i] == kPieceUserDefined) {
         if (scores[i] < min_score) min_score = scores[i];
@@ -193,12 +202,20 @@ void encode_bpe(const Model& m, const std::string& text,
     prv[i] = (i == 0) ? SIZE_MAX : i - 1;
   }
 
+  // merge-history forest (sentencepiece-style UNUSED resegmentation):
+  // node_str[t] is the symbol text, kids[t] its two merge constituents
+  // (-1,-1 for original-character leaves); tree[i] maps position → node
+  std::vector<std::string> node_str(syms.begin(), syms.end());
+  std::vector<std::array<int32_t, 2>> kids(n, {-1, -1});
+  std::vector<int32_t> tree(n);
+  for (size_t i = 0; i < n; i++) tree[i] = (int32_t)i;
+
   std::priority_queue<MergeCand> heap;
   auto push = [&](size_t i) {
     if (i >= n || nxt[i] >= n) return;
     std::string merged = syms[i] + syms[nxt[i]];
-    auto it = m.piece_to_id.find(merged);
-    if (it != m.piece_to_id.end())
+    auto it = m.merge_id.find(merged);
+    if (it != m.merge_id.end())
       heap.push({m.scores[it->second], i, it->second, std::move(merged)});
   };
   for (size_t i = 0; i + 1 < n; i++) push(i);
@@ -210,6 +227,9 @@ void encode_bpe(const Model& m, const std::string& text,
     if (!alive[i] || nxt[i] >= n || !alive[nxt[i]]) continue;
     if (syms[i] + syms[nxt[i]] != c.merged) continue;  // stale
     size_t j = nxt[i];
+    node_str.push_back(c.merged);
+    kids.push_back({tree[i], tree[j]});
+    tree[i] = (int32_t)(node_str.size() - 1);
     syms[i] = std::move(c.merged);
     alive[j] = false;
     nxt[i] = nxt[j];
@@ -218,21 +238,25 @@ void encode_bpe(const Model& m, const std::string& text,
     if (prv[i] != SIZE_MAX) push(prv[i]);
   }
 
-  for (size_t i = 0; i < n; i = (nxt[i] > i ? nxt[i] : i + 1)) {
-    if (!alive[i]) continue;
-    auto it = m.piece_to_id.find(syms[i]);
-    if (it != m.piece_to_id.end() && m.types[it->second] != kPieceUnused) {
+  // emit: NORMAL/USER_DEFINED piece id; UNUSED resegments into its merge
+  // constituents; a leaf with no emittable piece byte/unk-falls back
+  std::function<void(int32_t)> emit = [&](int32_t t) {
+    const std::string& s = node_str[t];
+    auto it = m.merge_id.find(s);
+    if (it != m.merge_id.end() && m.types[it->second] != kPieceUnused) {
       out->push_back(it->second);
-    } else {
-      for (size_t p = 0; p < syms[i].size();) {
-        size_t l = utf8_len(syms[i], p);
-        std::string ch = syms[i].substr(p, l);
-        auto cit = m.piece_to_id.find(ch);
-        if (cit != m.piece_to_id.end()) out->push_back(cit->second);
-        else emit_fallback(m, ch, out);
-        p += l;
-      }
+      return;
     }
+    if (kids[t][0] >= 0) {
+      emit(kids[t][0]);
+      emit(kids[t][1]);
+      return;
+    }
+    emit_fallback(m, s, out);
+  };
+
+  for (size_t i = 0; i < n; i = (nxt[i] > i ? nxt[i] : i + 1)) {
+    if (alive[i]) emit(tree[i]);
   }
 }
 

@@ -153,3 +153,63 @@ def test_cross_check_against_sentencepiece(uni_model, tmp_path):
     ours = SpTokenizer(uni_model)
     for text in ["hello world", "hello hell", "é hello"]:
         assert ours.encode(text) == sp.encode(text), text
+
+
+def test_bpe_control_piece_not_injectable():
+    """Raw text spelling a CONTROL piece must NOT produce its reserved id
+    (sentencepiece restricts matching to NORMAL/USER_DEFINED/UNUSED)."""
+    from chatglm_q_tpu.tokenizer.sp_proto import (
+        SentencePieceEntry, SpModelProto, PIECE_CONTROL, MODEL_BPE)
+    from chatglm_q_tpu.tokenizer.sp_core import SpTokenizer
+
+    pieces = [SentencePieceEntry("<unk>", 0.0, 2),
+              SentencePieceEntry("</s>", 0.0, PIECE_CONTROL)]
+    for ch in "</s>":
+        if not any(p.piece == ch for p in pieces):
+            pieces.append(SentencePieceEntry(ch, -1.0))
+    m = SpModelProto(pieces=pieces, model_type=MODEL_BPE, unk_id=0,
+                     bos_id=-1, eos_id=1, pad_id=-1,
+                     add_dummy_prefix=False, escape_whitespaces=False)
+    tok = SpTokenizer(m, use_native=False)
+    eos = tok.piece_to_id("</s>")
+    ids = tok.encode("</s>")
+    assert eos not in ids, (ids, eos)
+    assert tok.decode(ids) == "</s>"
+
+
+def test_bpe_unused_piece_resegments():
+    """A merged symbol whose piece is UNUSED must resegment into its merge
+    constituents (spm bpe_model semantics), not single characters."""
+    from chatglm_q_tpu.tokenizer.sp_proto import (
+        SentencePieceEntry, SpModelProto, PIECE_UNUSED, MODEL_BPE)
+    from chatglm_q_tpu.tokenizer.sp_core import SpTokenizer
+
+    pieces = [SentencePieceEntry("<unk>", 0.0, 2),
+              SentencePieceEntry("ab", -1.0),
+              SentencePieceEntry("abc", -0.5, PIECE_UNUSED),  # best merge
+              SentencePieceEntry("a", -10.0),
+              SentencePieceEntry("b", -10.0),
+              SentencePieceEntry("c", -10.0)]
+    m = SpModelProto(pieces=pieces, model_type=MODEL_BPE, unk_id=0,
+                     bos_id=-1, eos_id=-1, pad_id=-1,
+                     add_dummy_prefix=False, escape_whitespaces=False)
+    tok = SpTokenizer(m, use_native=False)
+    # merges: ab+c -> abc (unused) -> resegment to its constituents [ab, c]
+    assert tok.encode("abc") == [tok.piece_to_id("ab"), tok.piece_to_id("c")]
+    # decode of an UNUSED id keeps its surface (spm only excludes it from
+    # encoding)
+    assert tok.decode([2]) == "abc"
+
+
+def test_charsmap_no_false_trie_descent():
+    """Builder regression: nodes sharing a double-array base made traversal
+    descend into unrelated subtrees (falsely matching unmapped inputs)."""
+    from chatglm_q_tpu.tokenizer.charsmap import (
+        build_charsmap, PrecompiledCharsmap, nfkc_mapping)
+
+    mp = nfkc_mapping(0x33FF)  # wide enough to force base contention
+    cm = PrecompiledCharsmap(build_charsmap(mp))
+    bad = [cp for cp in range(0x20, 0x3400)
+           if not (0xD800 <= cp <= 0xDFFF)
+           and cm.normalize(chr(cp)) != mp.get(chr(cp), chr(cp))]
+    assert not bad, [hex(b) for b in bad[:10]]
