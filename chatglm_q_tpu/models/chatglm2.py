@@ -216,7 +216,9 @@ def block_forward(
     k = apply_rotary_emb(k, f).reshape(B, S, G, D)
     v = v.reshape(B, S, G, D)
 
-    paged = type(kv_write).__name__ == "PagedWrite"
+    from . import paged_kv as _PK
+
+    paged = isinstance(kv_write, _PK.PagedWrite)
     if kv_write is None:
         if past_kv is not None:
             pk, pv = past_kv
@@ -488,7 +490,11 @@ def forward(
         pos = position_ids
 
     freqs_table = jnp.asarray(
-        precompute_freqs_cis(config.head_hidden_size, config.max_sequence_length)
+        # +1 row: cumsum positions are 1-based, so a full-context sequence's
+        # last position indexes row max_sequence_length (the reference would
+        # IndexError there; clamping would silently repeat a rotation)
+        precompute_freqs_cis(config.head_hidden_size,
+                             config.max_sequence_length + 1)
     ).astype(dtype)
     freqs_cis = freqs_table[pos]  # (B, S, D)
 
@@ -556,8 +562,13 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _serving_freqs(config, positions, dtype):
+    # +1 row: serving positions are 1-based (position = lengths + 1), so the
+    # final token of a FULL-context sequence indexes row max_sequence_length
+    # — without it the gather clamps and that token silently reuses the
+    # previous position's rotation
     table = jnp.asarray(
-        precompute_freqs_cis(config.head_hidden_size, config.max_sequence_length)
+        precompute_freqs_cis(config.head_hidden_size,
+                             config.max_sequence_length + 1)
     ).astype(dtype)
     return table[positions]
 
@@ -688,7 +699,9 @@ def prefill_chunk(
     h = quant_embedding_lookup(params["word_embedding"], input_ids, quant_type, dtype)
 
     row_lengths = (starts + chunk_valid).astype(jnp.int32)
-    if rt.flash_enabled() and not (rt.mesh is not None and rt.kv_shard_t):
+    # under a mesh the flash chunk kernel has no sharded wrapper (pallas_call
+    # carries no GSPMD rules): take the XLA masked path, which GSPMD shards
+    if rt.flash_enabled() and rt.mesh is None:
         payload = (row_lengths, starts.astype(jnp.int32))
         if slot_map is not None:
             payload = payload + (slot_map.astype(jnp.int32),)
@@ -718,9 +731,8 @@ def prefill_chunk(
     if slot_map is None:
         new_lengths = row_lengths
     else:
-        new_lengths = cache.lengths
-        for i in range(B):
-            new_lengths = new_lengths.at[slot_map[i]].set(row_lengths[i])
+        # one batched scatter (slot_map rows are unique by construction)
+        new_lengths = cache.lengths.at[slot_map].set(row_lengths)
     new_cache = KVCache(k=new_k, v=new_v, lengths=new_lengths)
     return logits, new_cache
 

@@ -48,13 +48,19 @@ def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def default_mesh_shape(n_devices: int, config: Optional[ChatGLM2Config] = None):
+def default_mesh_shape(n_devices: int, config: Optional[ChatGLM2Config] = None,
+                       quant_type: str = "none"):
     """Pick (data, model) for n devices: prefer model-parallel up to the
-    head count, then data-parallel."""
+    head count, then data-parallel.  With ``quant_type``, only tp values
+    every packed/sharded dim actually divides are returned (int4g32's
+    group-32-aligned K shards — the 6B inner dim 13696 caps tp at 4), so
+    callers can trust the default without re-checking."""
     config = config or ChatGLM2Config()
     tp = 1
     for cand in (8, 4, 2, 1):
-        if n_devices % cand == 0 and config.num_attention_heads % cand == 0:
+        if (n_devices % cand == 0
+                and config.num_attention_heads % cand == 0
+                and tp_divisibility_ok(config, cand, quant_type)):
             tp = cand
             break
     return n_devices // tp, tp

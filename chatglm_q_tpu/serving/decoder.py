@@ -188,7 +188,11 @@ class GLMDecoder:
                     self.max_sequence_length - cur_len - 1,
                     max_generated_tokens - len(generated),
                 )
-                if room >= 1:
+                # the verify step writes a FULL KT-wide KV window at
+                # cur_len (ids are padded to KT): near the context end,
+                # dynamic_update_slice would clamp the start and silently
+                # overwrite valid KV — fall back to plain decode there
+                if room >= 1 and cur_len + speculative_k + 1 <= self.max_sequence_length:
                     draft = find_draft(prefix_ids + generated,
                                        speculative_ngram,
                                        min(speculative_k, room))
@@ -205,13 +209,15 @@ class GLMDecoder:
                 self.spec_stats["verify_steps"] += 1
                 row_argmax = np.asarray(
                     jnp.argmax(all_logits[0, : len(seq)], axis=-1))
-                accepted = 0
+                from .speculative import greedy_accept
+
+                accepted = greedy_accept(draft, [int(r) for r in row_argmax])
+                if self.eos_token_id in draft[:accepted]:
+                    # nothing after an accepted eos counts
+                    accepted = draft[:accepted].index(self.eos_token_id) + 1
                 stop = False
-                for i, d in enumerate(draft):
-                    if int(row_argmax[i]) != d:
-                        break
+                for d in draft[:accepted]:
                     generated.append(d)
-                    accepted += 1
                     generate_time.append(time.perf_counter() - start)
                     start = time.perf_counter()
                     if d == self.eos_token_id:

@@ -208,7 +208,12 @@ class ServingEngine:
     # ------------------------------------------------------------------
 
     def submit(self, prompt_ids: list, **kwargs) -> int:
-        req = Request(next(self._req_counter), list(prompt_ids), **kwargs)
+        prompt_ids = list(prompt_ids)
+        if not prompt_ids:
+            # an empty prompt would gather logits at index -1 (wrapping to
+            # the padded tail's garbage hidden state) — fail loudly instead
+            raise ValueError("empty prompt")
+        req = Request(next(self._req_counter), prompt_ids, **kwargs)
         self.queue.append(req)
         return req.req_id
 
