@@ -50,7 +50,7 @@ NP_DTYPES = {
 # state-dict (reference names) → param tree
 # ---------------------------------------------------------------------------
 
-def _linear_from_sd(sd, prefix, quant_type, dtype, transpose_float=True):
+def _linear_from_sd(sd, prefix, quant_type, dtype):
     """Extract one linear layer from reference-named tensors.
 
     Float checkpoints store torch's (out, in) layout → transpose to K-major.
@@ -60,7 +60,7 @@ def _linear_from_sd(sd, prefix, quant_type, dtype, transpose_float=True):
     out = {}
     w = sd.pop(prefix + ".weight")
     if quant_type == "none":
-        out["weight"] = np.ascontiguousarray(w.T).astype(dtype) if transpose_float else w
+        out["weight"] = np.ascontiguousarray(w.T).astype(dtype)
     elif quant_type == "int8":
         wt = np.ascontiguousarray(w.T)  # (K, N) int8
         Ks = Q.int4_storage_k(wt.shape[0])
@@ -108,12 +108,39 @@ def _split_cols(p: dict, at: int) -> tuple[dict, dict]:
     return left, right
 
 
+def expected_state_dict_keys(config: ChatGLM2Config, quant_type: str) -> list:
+    """Every tensor name :func:`params_from_state_dict` requires."""
+    scale = [".weight_scale"] if quant_type != "none" else []
+    keys = [f"word_embedding.weight"] + [
+        "word_embedding" + s for s in scale
+    ] + ["final_ln.weight"] + ["lm_head.weight"] + ["lm_head" + s for s in scale]
+    for i in range(config.num_layers):
+        keys += [f"layers.{i}.attn_ln.weight", f"layers.{i}.ffn_ln.weight"]
+        for lin in ("attn.qkv_proj", "attn.o_proj", "ffn.w_in", "ffn.w_out"):
+            keys.append(f"layers.{i}.{lin}.weight")
+            keys += [f"layers.{i}.{lin}" + s for s in scale]
+    return keys
+
+
 def params_from_state_dict(
     sd: dict, config: ChatGLM2Config, quant_type: str, dtype
 ) -> dict:
     """Assemble the stacked functional param tree from reference-named numpy
     tensors.  Consumes entries from ``sd``; leftovers are the caller's
-    "ignored keys" report."""
+    "ignored keys" report.
+
+    Unlike the reference loader (loader.py:110), a MISSING tensor is a hard
+    error: this package builds the param tree FROM the checkpoint, so there
+    is no pre-initialized module weight to fall back to — but all missing
+    keys are reported together up-front instead of an opaque KeyError on
+    the first one."""
+    missing = [k for k in expected_state_dict_keys(config, quant_type)
+               if k not in sd]
+    if missing:
+        raise KeyError(
+            f"checkpoint is missing {len(missing)} required tensors "
+            f"(quant_type={quant_type}): {missing[:8]}"
+            f"{' …' if len(missing) > 8 else ''}")
     L = config.num_layers
     qs = config.q_size
     inner = config.inner_hidden_size

@@ -58,15 +58,20 @@ def gptq_quantize_model(
     )
 
     # 2. embed all batches once, through the QUANTIZED embedding
+    # (+1 table row: cumsum positions are 1-based, so a full-length
+    # calibration sequence indexes row max_sequence_length — must match
+    # models/chatglm2.forward exactly or the Hessians are computed from
+    # activations the calibrated model will never see)
+    table = jnp.asarray(
+        M.precompute_freqs_cis(config.head_hidden_size,
+                               config.max_sequence_length + 1)
+    ).astype(dtype)
     prepared = []
     for input_ids, attention_mask in batches:
         B, S = input_ids.shape
         if attention_mask is None:
             attention_mask = jnp.ones((B, S), jnp.int32)
         mask_bias, pos = M.build_parity_mask_and_positions(attention_mask, S)
-        table = jnp.asarray(
-            M.precompute_freqs_cis(config.head_hidden_size, config.max_sequence_length)
-        ).astype(dtype)
         if quant_type == "int8":
             h = Q.embedding_lookup_int8(emb_q, input_ids, dtype)
         else:

@@ -24,10 +24,39 @@ def _is_float(x) -> bool:
 
 
 def partition_params(params):
-    """Split into (trainable float leaves, frozen int leaves); each tree has
-    None at the other's positions."""
-    trainable = jax.tree.map(lambda x: x if _is_float(x) else None, params)
-    frozen = jax.tree.map(lambda x: None if _is_float(x) else x, params)
+    """Split into (trainable float leaves, frozen leaves); each tree has
+    None at the other's positions.
+
+    A QUANTIZED linear/embedding is frozen as a UNIT: its float
+    ``weight_scale`` and ``bias`` are buffers of the packed weight
+    (reference registers them as non-trainable, int8/qlinear.py:83-87) —
+    dtype-only partitioning would hand scales to the optimizer, whose
+    weight decay then shrinks them toward 0 even with zero gradient,
+    silently corrupting the frozen weights' dequantization."""
+    def tag(tree):
+        # returns tree of bools: True = trainable
+        if isinstance(tree, dict):
+            w = tree.get("weight")
+            quantized = w is not None and not isinstance(w, dict) \
+                and not _is_float(w)
+            return {
+                k: (jax.tree.map(lambda _: False, v)
+                    if quantized else tag(v))
+                for k, v in tree.items()
+            }
+        return jax.tree.map(_is_float, tree)
+
+    flags = tag(params)
+    # trainable masters are held in f32 regardless of the checkpoint dtype
+    # (the reference's Linear/Embedding cast weights to the activation
+    # dtype at call time, model.py:76-87, exactly so fp32 masters can run
+    # fp16/bf16 compute) — fp16 masters break optimizers outright: adam's
+    # grad² underflows to 0 and eps=1e-8 rounds to 0, so the very first
+    # update divides by zero
+    trainable = jax.tree.map(
+        lambda x, f: jnp.asarray(x, jnp.float32) if f else None,
+        params, flags)
+    frozen = jax.tree.map(lambda x, f: None if f else x, params, flags)
     return trainable, frozen
 
 

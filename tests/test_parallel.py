@@ -340,3 +340,44 @@ def test_tsharded_kernel_merge_exactness():
             q, k, v, lengths, sm, mesh, 16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_partition_freezes_quantized_scales_and_bias():
+    """weight_scale (and bias) of a QUANTIZED linear are buffers of the
+    packed weight: they must land in the FROZEN tree, or an optimizer's
+    weight decay would shrink the scales toward 0 with zero gradient
+    (reference registers them as non-trainable, int8/qlinear.py:83-87)."""
+    import optax
+    from chatglm_q_tpu.utils.train import (partition_params, merge_params,
+                                           make_train_step)
+
+    cfg = ChatGLM2Config(
+        hidden_size=64, inner_hidden_size=64, head_hidden_size=16,
+        num_multi_query_groups=2, num_attention_heads=4, num_layers=2,
+        vocab_size=128, max_sequence_length=64)
+    params = M.init_params(jax.random.PRNGKey(0), cfg, "int4g32", jnp.float32)
+    trainable, frozen = partition_params(params)
+    # every quantized-linear leaf is frozen — scales included
+    assert trainable["layers"]["w_out"]["weight_scale"] is None
+    assert frozen["layers"]["w_out"]["weight_scale"] is not None
+    # float leaves outside quantized dicts stay trainable
+    assert trainable["layers"]["attn_ln"]["weight"] is not None
+    assert merge_params(trainable, frozen)["layers"]["w_out"]["weight"].dtype == jnp.uint8
+
+    # one adamw step (weight decay!) must not touch the scales
+    opt = optax.adamw(1e-2, weight_decay=0.1)
+    step = make_train_step(cfg, "int4g32", opt, dtype=jnp.float32,
+                           rt=TpuRuntimeConfig(use_pallas=False,
+                                               use_flash_attention=False))
+    opt_state = opt.init(trainable)
+    ids = jnp.ones((2, 8), jnp.int32)
+    labels = jnp.ones((2, 8), jnp.int32)
+    before = np.asarray(frozen["layers"]["w_out"]["weight_scale"])
+    trainable2, _, loss = step(trainable, frozen, opt_state, ids, labels)
+    after = np.asarray(frozen["layers"]["w_out"]["weight_scale"])
+    np.testing.assert_array_equal(before, after)
+    assert np.isfinite(float(loss))
+    # the norm weight DID update
+    assert not np.array_equal(
+        np.asarray(trainable["layers"]["attn_ln"]["weight"]),
+        np.asarray(trainable2["layers"]["attn_ln"]["weight"]))
