@@ -96,11 +96,16 @@ def spec_accept_next(rng, probs, indices, draft, argm, greedy):
 
 
 def _write_token_rows(tokbuf, seq, starts):
-    """Write seq (B, S) into tokbuf (B, T) at per-row starts (unrolled)."""
+    """Write seq (B, S) into tokbuf (B, T) at per-row starts (unrolled).
+
+    Drop-mode scatter, NOT dynamic_update_slice: near the buffer end the
+    slice clamp would shift the write window down and overwrite committed
+    history BELOW lengths — corrupting the n-gram search buffer (drafts
+    would silently degrade to always-rejected)."""
     B, S = seq.shape
     for b in range(B):
-        tokbuf = jax.lax.dynamic_update_slice(
-            tokbuf, seq[b : b + 1], (b, starts[b]))
+        tokbuf = tokbuf.at[b, starts[b] + jnp.arange(S)].set(
+            seq[b], mode="drop")
     return tokbuf
 
 

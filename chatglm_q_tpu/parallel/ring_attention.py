@@ -44,8 +44,8 @@ def _ring_attention_local(q, k, v, lengths, sm_scale, axis_name):
 
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def step(carry, t):
-        m, l, acc, k_cur, v_cur = carry
+    def compute(stats, k_cur, v_cur, t):
+        m, l, acc = stats
         src = (idx - t) % n                           # shard id currently held
         kv_pos = src * S_loc + jnp.arange(S_loc)
 
@@ -60,22 +60,34 @@ def _ring_attention_local(q, k, v, lengths, sm_scale, axis_name):
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_next)
-        p = jnp.exp(s - m_next)
+        # zero p at masked positions: a fully-masked block otherwise gets
+        # m_next == MASK_VALUE and p == exp(0) == 1, contaminating l/acc —
+        # exact rows wipe it later via alpha == 0, but a zero-length row
+        # (no valid keys at all) would return mean-of-v garbage instead of
+        # the zeros the l == 0 guard below produces
+        p = jnp.exp(s - m_next) * mask[:, None, None]
         l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum(
             "bghst,btgd->bghsd", p, v_cur.astype(jnp.float32)
         )
+        return (m_next, l, acc)
 
+    def step(carry, t):
+        stats, k_cur, v_cur = carry
+        stats = compute(stats, k_cur, v_cur, t)
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (m_next, l, acc, k_nxt, v_nxt), None
+        return (stats, k_nxt, v_nxt), None
 
     m0 = jnp.full((B, G, Hg, S_loc, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((B, G, Hg, S_loc, 1), jnp.float32)
     acc0 = jnp.zeros((B, G, Hg, S_loc, D), jnp.float32)
-    (m, l, acc, _, _), _ = jax.lax.scan(
-        step, (m0, l0, acc0, k, v), jnp.arange(n)
+    # n-1 (compute + rotate) steps, then a final compute WITHOUT the dead
+    # last rotation (its result was discarded — 1/n of all ring ICI traffic)
+    (stats, k_last, v_last), _ = jax.lax.scan(
+        step, ((m0, l0, acc0), k, v), jnp.arange(n - 1)
     )
+    m, l, acc = compute(stats, k_last, v_last, n - 1)
     l = jnp.where(l == 0.0, 1.0, l)
     out = (acc / l).astype(q.dtype)                   # (B, G, Hg, S_loc, D)
     return out.transpose(0, 3, 1, 2, 4)

@@ -343,8 +343,13 @@ class ServingEngine:
         slot = self.slots[slot_idx]
         self._rng, sub = jax.random.split(self._rng)
         if req.temperature > 0:
-            tok = int(top_p_sampling(sub, logits, req.top_k,
-                                     req.top_p, req.temperature))
+            # bucketed static sort width (like the chunk path): raw
+            # req.top_k as the static arg would compile a fresh vocab-wide
+            # top-k program per distinct client value at admission time
+            tok = int(top_p_sampling(
+                sub, logits, self._sort_width([req.top_k]),
+                req.top_p, req.temperature,
+                top_k_limit=jnp.asarray([req.top_k], jnp.int32)))
         else:
             tok = int(greedy_sampling(logits))
         req.generated.append(tok)
@@ -452,6 +457,9 @@ class ServingEngine:
         if not self.lookahead:
             disp = self._dispatch_chunk(jnp.asarray(self._last_tok))
             if disp is None:
+                # still a scheduler step (admission/prefill work may have
+                # happened) — count it like the paged/lookahead paths do
+                self.stats["steps"] += 1
                 return started
             toks, req_ids = disp
             out = self._consume_chunk(np.asarray(toks), req_ids, started)

@@ -57,3 +57,24 @@ def test_ring_under_jit():
     out = f(q, k, v, lengths)
     ref = oracle(q, k, v, lengths, 1.0 / np.sqrt(D))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_ring_zero_length_row_is_zeros():
+    """A row with NO valid keys (padding row in a ragged batch) must return
+    zeros, not mean-of-v garbage (fully-masked blocks previously leaked
+    p = exp(0) into l/acc, defeating the l == 0 guard)."""
+    B, Sq, G, Hg, D = 2, 32, 2, 4, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, Sq, G, Hg, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, Sq, G, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, Sq, G, D))
+    lengths = jnp.asarray([0, 32], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    mesh = S.make_mesh(1, 4)
+    spec = P(None, S.MODEL_AXIS, None, None, None)
+    qs = jax.device_put(q, NamedSharding(mesh, spec))
+    ks = jax.device_put(k, NamedSharding(mesh, P(None, S.MODEL_AXIS, None, None)))
+    vs = jax.device_put(v, NamedSharding(mesh, P(None, S.MODEL_AXIS, None, None)))
+    out = np.asarray(ring_attention(qs, ks, vs, lengths, mesh, S.MODEL_AXIS, sm))
+    np.testing.assert_array_equal(out[0], 0.0)
+    ref = oracle(q, k, v, lengths, sm)
+    np.testing.assert_allclose(out[1], np.asarray(ref)[1], rtol=2e-5, atol=2e-5)
