@@ -219,6 +219,51 @@ def weight_bytes_per_token(params) -> int:
     return total
 
 
+def probe_backend(retries: int = 3, timeout_s: int = 160) -> str | None:
+    """Pre-flight device check in a SUBPROCESS with a hard timeout.
+
+    A wedged tunnel device enumerates fine but hangs every value fetch
+    (round-2 failure mode: BENCH_r02 rc=1 / 40-line traceback).  Probing
+    in-process can therefore hang unkillably; a subprocess respects
+    ``timeout``.  Runs before this process initializes its own backend,
+    so the one-TPU-process rule is kept (probe exits before we init).
+
+    Returns None when healthy, else a short error string after retries.
+    """
+    import subprocess
+
+    err = "unknown"
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones((8, 8)).sum()))"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if r.returncode == 0:
+                return None
+            err = (r.stderr.strip().splitlines() or ["rc=%d" % r.returncode])[-1][:300]
+        except subprocess.TimeoutExpired:
+            err = f"device probe hung >{timeout_s}s (backend wedged?)"
+        _log(f"backend probe attempt {attempt + 1}/{retries} failed: {err}")
+        time.sleep(20)
+    return err
+
+
+def emit_error(reason: str):
+    """One machine-readable JSON line on failure — the driver records
+    bench stdout verbatim; a traceback instead of JSON makes the round's
+    artifact unparseable (VERDICT r2 weak #5)."""
+    print(json.dumps({
+        "metric": "ChatGLM2-6B int4g32 decode tokens/s/chip (batch=1, in-graph loop)",
+        "value": 0.0,
+        "unit": "tok/s",
+        "vs_baseline": 0.0,
+        "error": reason[:500],
+    }))
+
+
 def main():
     quant_type = "int4g32"
     batch = 1
@@ -279,4 +324,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SKIP_PROBE") != "1":
+        _err = probe_backend()
+        if _err is not None:
+            emit_error(f"backend init failed: {_err}")
+            sys.exit(0)  # rc 0: the JSON line IS the (error) result
+    try:
+        main()
+    except Exception as e:  # never leak a traceback to stdout
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit_error(f"{type(e).__name__}: {e}")
+        sys.exit(0)
