@@ -41,6 +41,19 @@ from .engine import ServingEngine, Request
 from .paged_engine import PagedServingEngine
 
 
+def _fetch_global(x) -> np.ndarray:
+    """Host fetch that works on globally-sharded arrays under multi-process
+    ``jax.distributed``: a chunk's token output is sharded over the data
+    axis, so each process only addresses its own shard — all-gather it to a
+    fully-replicated (hence fetchable) value first.  Every process runs the
+    same deterministic SPMD program, so the gathered values agree."""
+    if jax.process_count() > 1 and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 class DistributedServingEngine(ServingEngine):
     def __init__(
         self,
@@ -68,6 +81,9 @@ class DistributedServingEngine(ServingEngine):
             lambda spec: NamedSharding(mesh, spec), S.kv_cache_pspecs()
         )
         self.cache = jax.tree.map(jax.device_put, self.cache, kv_shardings)
+
+    def _fetch(self, x):
+        return _fetch_global(x)
 
     # -- scheduling ------------------------------------------------------
 
@@ -268,3 +284,6 @@ class DistributedPagedServingEngine(PagedServingEngine):
 
     # multi-process ingestion is identical to the dense engine's
     sync_submissions = DistributedServingEngine.sync_submissions
+
+    def _fetch(self, x):
+        return _fetch_global(x)

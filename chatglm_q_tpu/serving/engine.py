@@ -428,6 +428,12 @@ class ServingEngine:
         self.stats["decode_chunks"] += 1
         return toks, req_ids
 
+    def _fetch(self, x) -> np.ndarray:
+        """Host fetch of a device token array.  Multi-process engines
+        override this: a chunk output sharded over the data axis spans
+        non-addressable devices there, and a plain ``np.asarray`` raises."""
+        return np.asarray(x)
+
     def _consume_chunk(self, toks_np, req_ids, out):
         """Apply a fetched chunk's rows to the slots that still hold the
         request they held at dispatch (a slot freed-and-reused since then
@@ -462,7 +468,7 @@ class ServingEngine:
                 self.stats["steps"] += 1
                 return started
             toks, req_ids = disp
-            out = self._consume_chunk(np.asarray(toks), req_ids, started)
+            out = self._consume_chunk(self._fetch(toks), req_ids, started)
             self.stats["steps"] += 1
             return out
 
@@ -488,7 +494,7 @@ class ServingEngine:
         self._pending = self._dispatch_chunk(first)
         out = started
         if prev is not None:
-            toks_np = np.asarray(prev[0])  # syncs on chunk N only
+            toks_np = self._fetch(prev[0])  # syncs on chunk N only
             out = self._consume_chunk(toks_np, prev[1], out)
             # keep _last_tok coherent for slots whose pending chunk rows
             # were discarded (finished requests): nothing to do — freed

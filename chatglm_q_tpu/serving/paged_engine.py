@@ -451,7 +451,7 @@ class PagedServingEngine(ServingEngine):
             jnp.asarray(slots, dtype=jnp.int32), jnp.asarray(garb),
             n, sort_k, full_batch=full,
         )
-        toks = np.asarray(toks)  # (PB, n)
+        toks = self._fetch(toks)  # (PB, n)
         out = started
         for b in active:
             i = rows[b]
