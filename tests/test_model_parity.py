@@ -346,3 +346,93 @@ def test_dropout_train_mode(ref_and_params):
     _, d0 = M.forward(params, cfg, ids, quant_type="none", rt=RT,
                       dropout_rng=jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(base_logits))
+
+
+# --- mid-size end-to-end quantization-degradation budget (VERDICT r2 #2) ---
+
+MID = dict(
+    hidden_size=512,
+    inner_hidden_size=1024,
+    head_hidden_size=64,
+    num_multi_query_groups=2,
+    num_attention_heads=8,
+    num_layers=6,
+    vocab_size=2048,
+    max_sequence_length=128,
+)
+
+
+def _quantize_ref(model, quant_type):
+    """Quantize a reference torch model in place with ITS OWN quantizers
+    (reference int4/quantizer.py, int8/quantizer.py)."""
+    import copy
+
+    if quant_type == "int8":
+        from chatglm_q.int8.quantizer import (get_quant_embedding,
+                                              get_quant_int8_linear as get_linear)
+    else:
+        from chatglm_q.int4.quantizer import (get_quant_embedding,
+                                              get_quant_int4_linear as get_linear)
+    qref = copy.deepcopy(model)
+    with torch.no_grad():
+        qref.word_embedding = get_quant_embedding(qref.word_embedding)
+        for layer in qref.layers:
+            layer.attn.qkv_proj = get_linear(layer.attn.qkv_proj)
+            layer.attn.o_proj = get_linear(layer.attn.o_proj)
+            layer.ffn.w_in = get_linear(layer.ffn.w_in)
+            layer.ffn.w_out = get_linear(layer.ffn.w_out)
+        qref.lm_head = get_linear(qref.lm_head)
+        if quant_type == "int4g32":
+            # our production int4 scales are stored f16 (ops/quant.py
+            # SCALE_DTYPE); round the oracle identically
+            for m in qref.modules():
+                if hasattr(m, "weight_scale") and m.weight_scale.ndim == 2:
+                    m.weight_scale.data = m.weight_scale.data.half().float()
+    return qref
+
+
+@pytest.mark.parametrize("quant_type", ["int8", "int4g32"])
+def test_midsize_ppl_degradation_budget(quant_type):
+    """The metric the reference publishes as its regression test is the ppl
+    DELTA of each quant level vs fp16 (evaluations/ppl_results.txt).  Real
+    6B weights are not downloadable here, so pin the next-strongest chain
+    on a mid-size random model where error actually accumulates (6 layers,
+    512 hidden, 2048 vocab): our quantized CE loss must (a) track the
+    reference torch implementation's quantized loss to float tolerance and
+    (b) produce the SAME fp→quant degradation as the reference to within
+    0.1% of a nat — i.e. identical quantization quality, end to end."""
+    torch.manual_seed(3)
+    cfg_ref = ref_model_mod.ChatGLM2Config(**MID)
+    model = ref_model_mod.ChatGLM2Model(cfg_ref, dtype=torch.float32)
+    with torch.no_grad():
+        for name, p in model.state_dict().items():
+            if p.is_floating_point():
+                p.normal_(1.0, 0.02) if "ln.weight" in name else p.normal_(0.0, 0.05)
+    cfg = ChatGLM2Config(**MID)
+
+    rng = np.random.RandomState(11)
+    ids = rng.randint(0, MID["vocab_size"], size=(2, 48)).astype(np.int64)
+    labels = ids.copy()
+    labels[:, :4] = -100  # exercise the ignore-index path
+
+    losses = {}
+    for qt, m in (("none", model), (quant_type, _quantize_ref(model, quant_type))):
+        with torch.no_grad():
+            ref_loss, ref_logits, _ = m(input_ids=torch.tensor(ids),
+                                        labels=torch.tensor(labels))
+        params = torch_to_params(model, qt)
+        loss, logits = M.forward(params, cfg, jnp.asarray(ids),
+                                 labels=jnp.asarray(labels),
+                                 quant_type=qt, rt=RT)
+        # (a) absolute loss parity vs the torch oracle at the same quant
+        np.testing.assert_allclose(float(loss), float(ref_loss),
+                                   rtol=3e-4, atol=3e-4)
+        # logits track too (not just the scalar reduction)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                                   rtol=5e-3, atol=5e-3)
+        losses[qt] = (float(loss), float(ref_loss))
+
+    ours_delta = losses[quant_type][0] - losses["none"][0]
+    ref_delta = losses[quant_type][1] - losses["none"][1]
+    # (b) identical degradation: quantization hurts us exactly as much
+    assert abs(ours_delta - ref_delta) < 1e-3, (ours_delta, ref_delta)
