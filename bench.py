@@ -62,10 +62,11 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
         if quant_type == "int4g32":
             p = {
                 # random.bits: native uint8 generation, no int32 transients;
-                # f16 scales = the on-disk/loaded storage dtype
-                # (ops/quant.py SCALE_DTYPE) — 1/8 of the weight stream
+                # bf16 scales = the in-HBM storage dtype (ops/quant.py
+                # SCALE_DTYPE; Mosaic v5e can't load f16) — 1/8 of the
+                # weight stream
                 "weight": jax.random.bits(next(ks), (L, k // 2, n), jnp.uint8),
-                "weight_scale": jnp.full((L, k // 32, n), 0.01, jnp.float16),
+                "weight_scale": jnp.full((L, k // 32, n), 0.01, jnp.bfloat16),
             }
         elif quant_type == "int8":
             p = {
@@ -90,7 +91,7 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
         if quant_type == "int4g32":
             return {
                 "weight": jax.random.bits(next(ks), (k // 2, n), jnp.uint8),
-                "weight_scale": jnp.full((k // 32, n), 0.01, jnp.float16),
+                "weight_scale": jnp.full((k // 32, n), 0.01, jnp.bfloat16),
             }
         if quant_type == "int8":
             return {
@@ -157,7 +158,7 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
         return
     K, N, L = H, Ip, 6  # w_in decode shape; L distinct weights bust caches
     packs = jax.random.bits(jax.random.PRNGKey(13), (L, K // 2, N), jnp.uint8)
-    scales = jnp.full((L, K // 32, N), 0.01, jnp.float16)
+    scales = jnp.full((L, K // 32, N), 0.01, jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(12), (1, K), jnp.bfloat16)
 
     # measure through the SAME dispatch the decode program will use

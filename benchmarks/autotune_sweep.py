@@ -101,7 +101,7 @@ def measure(kernel, m, k, n, impl, cfg):
     x = jax.random.normal(key, (m, k), jnp.bfloat16)
     if kernel == "int4":
         w = jax.random.bits(jax.random.PRNGKey(1), (L, k // 2, n), jnp.uint8)
-        s = jnp.full((L, k // 32, n), 0.01, jnp.float16)
+        s = jnp.full((L, k // 32, n), 0.01, jnp.bfloat16)
         if impl == "pipelined":
             def call(x, wi, si):
                 out = PM.int4_matmul_pallas_pipelined(

@@ -120,8 +120,13 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
                          w[GROUP * g:GROUP * (g + 1)],
                          preferred_element_type=jnp.float32)
             total += pg * s[g][None, :]
-        # rank-1 offset: y -= 272 · (Σ_k∈g x) @ s
-        xsum = x.reshape(x.shape[0], gb, GROUP).astype(jnp.float32).sum(-1)
+        # rank-1 offset: y -= 272 · (Σ_k∈g x) @ s — per-group sums via a
+        # 0/1 selection-matrix dot (the (M, gb, 32) reshape splits the
+        # lane dim, which Mosaic cannot lay out)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
+        sel = (rows // GROUP == cols).astype(w.dtype)
+        xsum = jnp.dot(x.astype(w.dtype), sel, preferred_element_type=jnp.float32)
         total -= 272.0 * jnp.dot(xsum, s, preferred_element_type=jnp.float32)
         acc_ref[...] += total
     elif mode == "int8":
@@ -130,9 +135,10 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
     elif mode == "int8_bt":
         # no int→float convert: biased byte u = q+128 split into nibbles,
         # each OR-ed into bf16-256's mantissa; x·q = 8·dh + 0.5·dl − 2304·Σx
-        u = pltpu.bitcast(p_ref[...], jnp.uint8) ^ 0x80
-        wh = pltpu.bitcast((u >> 4).astype(jnp.int16) | 0x4380, jnp.bfloat16)
-        wl = pltpu.bitcast((u & 0xF).astype(jnp.int16) | 0x4380, jnp.bfloat16)
+        # vector shifts legalize only at 32 bit on Mosaic v5e
+        u = (pltpu.bitcast(p_ref[...], jnp.uint8) ^ 0x80).astype(jnp.int32)
+        wh = pltpu.bitcast((((u >> 4) & 0xF) | 0x4380).astype(jnp.int16), jnp.bfloat16)
+        wl = pltpu.bitcast(((u & 0xF) | 0x4380).astype(jnp.int16), jnp.bfloat16)
         dh = jnp.dot(x, wh, preferred_element_type=jnp.float32)
         dl = jnp.dot(x, wl, preferred_element_type=jnp.float32)
         xsum = x.astype(jnp.float32).sum(axis=1, keepdims=True)
@@ -181,10 +187,10 @@ def bench_mode(mode):
     else:
         w = jax.random.normal(jax.random.PRNGKey(1), (L, K, N), jnp.bfloat16) * 0.01
         wbytes = K * N * 2
-    # f16: the production scale storage dtype (ops/quant.py SCALE_DTYPE) —
-    # the scale stream is 1/8 of the packed weights, so benching f32 scales
-    # would overstate DMA by ~8%
-    s = jnp.full((L, K // 32, N), 0.01, jnp.float16)
+    # bf16: the production scale storage dtype (ops/quant.py SCALE_DTYPE —
+    # Mosaic v5e cannot load f16 vectors); the scale stream is 1/8 of the
+    # packed weights, so benching f32 scales would overstate DMA by ~8%
+    s = jnp.full((L, K // 32, N), 0.01, jnp.bfloat16)
     if mode not in ("bf16", "int8", "int8_bt", "int4_noscale",
                     "int4_bittrick", "int4_convert_i8"):
         wbytes += (K // 32) * N * 2

@@ -70,11 +70,14 @@ def _linear_from_sd(sd, prefix, quant_type, dtype):
         out["weight_scale"] = sd.pop(prefix + ".weight_scale").astype(np.float32)
     elif quant_type == "int4g32":
         packed = Q.repack_ref_to_tpu(w)     # (K/2, N) uint8
-        # keep the checkpoint's scale dtype: reference checkpoints store
-        # f16 (model-dtype) scales — loading them verbatim preserves exact
-        # dequant parity; scales quantized in this package are f16 already
-        # (ops/quant.py SCALE_DTYPE)
+        # reference checkpoints store f16 (model-dtype) scales; in HBM we
+        # keep them in SCALE_DTYPE (bf16 — Mosaic v5e cannot load f16
+        # vectors; see ops/quant.py).  The kernels multiply scales in bf16
+        # either way, so this conversion is numerically invisible on the
+        # bf16-activation path.
         scale = sd.pop(prefix + ".weight_scale")
+        if scale.dtype == np.float16:
+            scale = scale.astype(np.float32).astype(Q.SCALE_DTYPE)
         K = packed.shape[0] * 2
         Ks = Q.int4_storage_k(K)
         if Ks != K:

@@ -182,10 +182,13 @@ def _int8_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
     if scheme == "bt":
         xb = x_ref[...]
         if not interpret:
-            u = pltpu.bitcast(w_ref[...], jnp.uint8) ^ 0x80
-            wh = pltpu.bitcast((u >> 4).astype(jnp.int16) | 0x4380,
+            # Mosaic v5e legalizes vector shifts only at 32 bit (verified
+            # by local AOT compile: arith.shrui on i8/i16 vectors fails) —
+            # widen, shift/mask, narrow to i16 for the mantissa OR
+            u = (pltpu.bitcast(w_ref[...], jnp.uint8) ^ 0x80).astype(jnp.int32)
+            wh = pltpu.bitcast((((u >> 4) & 0xF) | 0x4380).astype(jnp.int16),
                                jnp.bfloat16)
-            wl = pltpu.bitcast((u & 0xF).astype(jnp.int16) | 0x4380,
+            wl = pltpu.bitcast(((u & 0xF) | 0x4380).astype(jnp.int16),
                                jnp.bfloat16)
         else:
             u = w_ref[...].astype(jnp.float32) + 128.0
@@ -263,9 +266,16 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
                          w[32 * g:32 * (g + 1)],
                          preferred_element_type=jnp.float32)
             total += pg * s2[g][None, :]
-        # rank-1 offset: s·q = (s/2)(256+2u) − 136·s = s2·w_bt − 272·s2
-        xsum = xb.astype(jnp.float32).reshape(
-            xb.shape[0], gb, 32).sum(axis=2)              # (bm, gb)
+        # rank-1 offset: s·q = (s/2)(256+2u) − 136·s = s2·w_bt − 272·s2.
+        # Per-group x sums via a 0/1 selection-matrix MXU dot: reshaping
+        # (bm, bk) → (bm, gb, 32) splits the LANE dim, which Mosaic cannot
+        # lay out ("infer-vector-layout: unsupported shape cast", verified
+        # by v5e AOT compile) — the (bk, gb) group-membership matmul is
+        # layout-trivial and exact (0/1 factors, f32 accumulation).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
+        sel = (rows // 32 == cols).astype(w.dtype)
+        xsum = jnp.dot(xb, sel, preferred_element_type=jnp.float32)  # (bm, gb)
         total -= 272.0 * jnp.dot(xsum, s2, preferred_element_type=jnp.float32)
         acc_ref[...] += total
     elif scheme == "grouped" and not _PERF_DEBUG_NOSCALE:
@@ -300,6 +310,12 @@ def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, scheme=None,
         # the nibble-split construction is exact only against bf16-rounded
         # activations; f32 parity/oracle modes keep the convert path
         scheme = "convert"
+    if scheme == "bt":
+        # the i32 widening for the nibble shifts (Mosaic legalizes vector
+        # shifts only at 32 bit) costs 4 B/elem of scoped VMEM — a
+        # 2048×2048 block overflows the 16 MB stack limit (v5e AOT
+        # verified); halve the K block
+        bk_cap = min(bk_cap, 1024)
     if interpret is None:
         interpret = not _is_tpu()
     M, K = x.shape
@@ -568,8 +584,14 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
                              w[32 * g:32 * (g + 1)],
                              preferred_element_type=jnp.float32)
                 total += pg * s2[g][None, :]
-            xsum = xb.astype(jnp.float32).reshape(
-                xb.shape[0], _CK // 32, 32).sum(axis=2)
+            # selection-matrix per-group x sums (the (bm, _CK, 32) reshape
+            # splits the lane dim — unsupported by Mosaic; see
+            # _int4_fwd_kernel)
+            gb2 = _CK // 32
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 1)
+            sel = (rows // 32 == cols).astype(w.dtype)
+            xsum = jnp.dot(xb, sel, preferred_element_type=jnp.float32)
             total -= 272.0 * jnp.dot(xsum, s2,
                                      preferred_element_type=jnp.float32)
             acc_ref[...] += total

@@ -54,14 +54,21 @@ def lmhead_pad(p: dict, quant_type: str) -> dict:
         return p
     return pad_linear_n(p, quant_type, multiple=LMHEAD_N_MULTIPLE)
 
-# int4 group scales are STORED in float16 — the reference checkpoints carry
-# f16 scales (model dtype, int4/quantizer.py), and at decode the (K/32, N)
-# scale stream is 1/8 of the packed-weight traffic: f32 storage costs +8%
-# of HBM speed-of-light for nothing.  Quantization grids are still computed
-# against f32 scales (grid parity with the reference's f32 runs); the f16
-# rounding applies only at dequant, exactly as when loading a reference f16
-# checkpoint.
-SCALE_DTYPE = jnp.float16
+# int4 group scales are STORED in bfloat16 in HBM.  Rationale:
+# * 16-bit storage keeps the (K/32, N) scale stream at 1/8 of the
+#   packed-weight traffic (f32 storage costs +11% of HBM speed-of-light);
+# * float16 — the reference checkpoints' on-disk dtype
+#   (int4/quantizer.py) — is NOT loadable by Mosaic on TPU v5e: a local
+#   v5e AOT compile of every int4 kernel fails with "Invalid vector type
+#   for load" / "Unsupported cast: float16 -> bfloat16" on the f16 scale
+#   tiles (verified round 3; f16 vector ops have no VPU support there);
+# * the kernels multiply scales in bf16 anyway (``s.astype(x.dtype)``
+#   with bf16 activations), so bf16 HBM storage is numerically identical
+#   on the production path.
+# On disk the reference f16 format is preserved (loader.py converts both
+# ways), so checkpoint interop is unchanged.  Quantization grids are still
+# computed against f32 scales (grid parity with the reference's f32 runs).
+SCALE_DTYPE = jnp.bfloat16
 
 
 # ---------------------------------------------------------------------------

@@ -196,13 +196,17 @@ def test_quantized_forward_parity(ref_and_params, quant_type):
             layer.ffn.w_out = get_linear(layer.ffn.w_out)
         qref.lm_head = get_linear(qref.lm_head)
         if quant_type == "int4g32":
-            # we store int4 group scales in f16 (ops/quant.py SCALE_DTYPE),
-            # exactly what a reference f16-dtype deployment holds — round
-            # the torch oracle's scales the same way so the comparison
-            # tests the production numerics at full strictness
+            # we store int4 group scales in bf16 (ops/quant.py SCALE_DTYPE;
+            # Mosaic v5e cannot load f16 vectors) — round the torch
+            # oracle's scales the same way so the comparison tests the
+            # production numerics at full strictness
             for m in qref.modules():
-                if hasattr(m, "weight_scale") and m.weight_scale.ndim == 2:
-                    m.weight_scale.data = m.weight_scale.data.half().float()
+                # linears only: embedding scales stay f32 on our side too
+                # (the lookup is a gather, not a Mosaic kernel)
+                if (hasattr(m, "weight_scale") and m.weight_scale.ndim == 2
+                        and type(m).__name__ != "QEmbedding"):
+                    m.weight_scale.data = m.weight_scale.data.to(
+                        torch.bfloat16).float()
 
     # grid equality on one layer's o_proj
     if quant_type == "int8":
@@ -383,11 +387,15 @@ def _quantize_ref(model, quant_type):
             layer.ffn.w_out = get_linear(layer.ffn.w_out)
         qref.lm_head = get_linear(qref.lm_head)
         if quant_type == "int4g32":
-            # our production int4 scales are stored f16 (ops/quant.py
+            # our production int4 scales are stored bf16 (ops/quant.py
             # SCALE_DTYPE); round the oracle identically
             for m in qref.modules():
-                if hasattr(m, "weight_scale") and m.weight_scale.ndim == 2:
-                    m.weight_scale.data = m.weight_scale.data.half().float()
+                # linears only: embedding scales stay f32 on our side too
+                # (the lookup is a gather, not a Mosaic kernel)
+                if (hasattr(m, "weight_scale") and m.weight_scale.ndim == 2
+                        and type(m).__name__ != "QEmbedding"):
+                    m.weight_scale.data = m.weight_scale.data.to(
+                        torch.bfloat16).float()
     return qref
 
 
