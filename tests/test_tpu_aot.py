@@ -173,3 +173,47 @@ def test_full_decode_step_compiles(monkeypatch):
     jax.jit(
         lambda p, i, c: M.decode_step(p, cfg, i, c, qt, jnp.bfloat16, rt)
     ).lower(params, ids, cache).compile()
+
+
+def test_multichip_sharded_decode_compiles():
+    """GSPMD-compile the TP+DP sharded decode step for REAL v5e hardware
+    over a (data=2, model=2) topology mesh — validates the sharded program
+    (ICI collectives, layouts) beyond what the virtual CPU mesh can."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.models.chatglm2 import KVCache
+    from chatglm_q_tpu.parallel import sharding as S
+
+    topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 2),
+                (S.DATA_AXIS, S.MODEL_AXIS))
+    cfg = ChatGLM2Config(
+        hidden_size=256, inner_hidden_size=512, head_hidden_size=32,
+        num_multi_query_groups=2, num_attention_heads=8, num_layers=2,
+        vocab_size=1024, max_sequence_length=64,
+    )
+    qt = "int4g32"
+    rt = TpuRuntimeConfig(use_pallas=False, mesh=mesh)
+
+    shapes = jax.eval_shape(
+        lambda key: M.init_params(key, cfg, qt, jnp.float32),
+        jax.random.PRNGKey(0))
+    specs = S.param_pspecs(cfg, qt, shapes)
+    params = jax.tree.map(
+        lambda sds, spec: jax.ShapeDtypeStruct(
+            sds.shape, sds.dtype, sharding=NamedSharding(mesh, spec)),
+        shapes, specs)
+    kv = jax.tree.map(
+        lambda sds, spec: jax.ShapeDtypeStruct(
+            sds.shape, sds.dtype, sharding=NamedSharding(mesh, spec)),
+        jax.eval_shape(lambda: M.init_kv_cache(cfg, 2, 32, jnp.float32)),
+        S.kv_cache_pspecs())
+    ids = jax.ShapeDtypeStruct((2,), jnp.int32,
+                               sharding=NamedSharding(mesh, P(S.DATA_AXIS)))
+    with mesh:
+        jax.jit(
+            lambda p, i, c: M.decode_step(p, cfg, i, c, qt, jnp.float32, rt)
+        ).lower(params, ids, kv).compile()
