@@ -130,6 +130,34 @@ def random_quantized_params(rng: jax.Array, config: ChatGLM2Config, quant_type: 
     }
 
 
+def _probe_impl_call(c, p, s, scheme):
+    """The SAME dispatch the decode program uses (pipelined first, grid when
+    inapplicable — pallas_matmul int4_matmul_auto), so the recorded probe
+    winner is the kernel that actually runs."""
+    from chatglm_q_tpu.ops import pallas_matmul as PM
+
+    out = PM.int4_matmul_pallas_pipelined(c, p, s, scheme=scheme)
+    if out is not None:
+        return out, "pipelined"
+    return PM.int4_matmul_pallas(c, p, s, scheme=scheme), "grid"
+
+
+def make_probe_chain(K: int, L: int, scheme: str):
+    """The scheme-probe timing program (module-level so
+    benchmarks/aot_precompile.py can pre-populate its compile-cache entry)."""
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n")
+    def chain(x, packs, scales, n):
+        def body(c, i):
+            out, _ = _probe_impl_call(c, packs[i % L], scales[i % L], scheme)
+            return out[:, :K].astype(c.dtype), out.sum()
+        _, sums = jax.lax.scan(body, x, jnp.arange(n))
+        return sums.sum()
+
+    return chain
+
+
 def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
     """One-shot dequant-scheme selection when no sweep has recorded one.
 
@@ -161,26 +189,10 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
     scales = jnp.full((L, K // 32, N), 0.01, jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(12), (1, K), jnp.bfloat16)
 
-    # measure through the SAME dispatch the decode program will use
-    # (pipelined first, grid when inapplicable — pallas_matmul
-    # int4_matmul_auto), so the recorded winner is the kernel that runs
-    def impl_call(c, p, s, scheme):
-        out = PM.int4_matmul_pallas_pipelined(c, p, s, scheme=scheme)
-        if out is not None:
-            return out, "pipelined"
-        return PM.int4_matmul_pallas(c, p, s, scheme=scheme), "grid"
-
     results, impls = {}, {}
     for scheme in ("broadcast", "grouped", "bt_grouped"):
-        impls[scheme] = impl_call(x, packs[0], scales[0], scheme)[1]
-
-        @partial(jax.jit, static_argnames="n")
-        def chain(x, packs, scales, n, _s=scheme):
-            def body(c, i):
-                out, _ = impl_call(c, packs[i % L], scales[i % L], _s)
-                return out[:, :K].astype(c.dtype), out.sum()
-            _, sums = jax.lax.scan(body, x, jnp.arange(n))
-            return sums.sum()
+        impls[scheme] = _probe_impl_call(x, packs[0], scales[0], scheme)[1]
+        chain = make_probe_chain(K, L, scheme)
 
         try:
             t = slope_time(lambda n: force(chain(x, packs, scales, n)), 4, 16)

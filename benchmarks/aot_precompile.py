@@ -1,0 +1,169 @@
+"""Chipless pre-compilation of the TPU measurement programs.
+
+The local libtpu compiles for a v5e topology whose ``device_kind`` ("TPU v5
+lite") matches the tunneled bench chip, and every compile lands in the
+persistent cache (/root/.cache/jax_comp).  Remote compiles through the
+tunnel cost MINUTES each and have repeatedly wedged the device
+(.claude/skills/verify/SKILL.md); local AOT compiles of the same programs
+take seconds.  Run this BEFORE a measurement session so the hardware run
+is (at worst-case) a string of cache hits.
+
+Covers, at flagship 6B shapes:
+* bench.py: make_params, prefill, decode_n(8/40) under EVERY int4 scheme
+  the probe can select (the tuned scheme changes the traced program);
+* the scheme-probe chain programs themselves;
+* kernel_microbench mode programs.
+
+Usage: python benchmarks/aot_precompile.py [--skip-microbench]
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # never touches the axon device
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import numpy as np
+import jax.numpy as jnp
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[aot {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
+    mesh = Mesh(np.array(topo.devices[:1]).reshape(1,), ("x",))
+    SH = NamedSharding(mesh, P())
+
+    from chatglm_q_tpu.ops import pallas_attention as PA
+    from chatglm_q_tpu.ops import pallas_matmul as PM
+
+    # the axon runtime reports backend "tpu"; mirror that so the traced
+    # programs (kernel interpret flags, dispatch) are identical
+    PM._is_tpu = lambda: True
+    PA._is_tpu = lambda: True
+
+    import bench
+    from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.ops.quant import int4_storage_k
+
+    config = ChatGLM2Config()
+    qt = "int4g32"
+    rt = TpuRuntimeConfig(use_pallas=True, use_flash_attention=False)
+
+    def sds(tree):
+        return jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=SH), tree)
+
+    params = sds(jax.eval_shape(
+        lambda k: bench.random_quantized_params(k, config, qt),
+        jax.random.PRNGKey(0)))
+    cache = sds(jax.eval_shape(
+        lambda: M.init_kv_cache(config, 1, 1024, jnp.bfloat16)))
+    prompt = jax.ShapeDtypeStruct((1, 128), jnp.int32, sharding=SH)
+    lengths = jax.ShapeDtypeStruct((1,), jnp.int32, sharding=SH)
+    first = jax.ShapeDtypeStruct((1,), jnp.int32, sharding=SH)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=SH)
+
+    def compile_(name, lowerable):
+        t0 = time.time()
+        try:
+            lowerable.compile()
+            log(f"{name}: compiled in {time.time() - t0:.0f}s")
+        except Exception as e:
+            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+
+    compile_("make_params", jax.jit(
+        lambda k: bench.random_quantized_params(k, config, qt)).lower(key))
+    compile_("prefill", jax.jit(
+        lambda p, i, l, c: M.prefill(p, config, i, l, c, qt, jnp.bfloat16, rt)
+    ).lower(params, prompt, lengths, cache))
+
+    # scheme-probe chains (what bench.ensure_scheme_probe compiles first)
+    H, Ip = config.hidden_size, int4_storage_k(config.inner_hidden_size)
+    K, N, L = H, Ip, 6
+    xprobe = jax.ShapeDtypeStruct((1, K), jnp.bfloat16, sharding=SH)
+    packs = jax.ShapeDtypeStruct((L, K // 2, N), jnp.uint8, sharding=SH)
+    scales = jax.ShapeDtypeStruct((L, K // 32, N), jnp.bfloat16, sharding=SH)
+    for scheme in ("broadcast", "grouped", "bt_grouped"):
+        chain = bench.make_probe_chain(K, L, scheme)
+        for n in (4, 16):
+            compile_(f"probe_chain/{scheme}/n{n}",
+                     chain.lower(xprobe, packs, scales, n=n))
+
+    # decode program under every scheme the probe may record (the tuned
+    # scheme changes the kernels inside the scan body).  A FRESH jit per
+    # scheme: jax.jit caches traces by shapes/statics only, so reusing one
+    # jit object would silently re-lower the first scheme's program.
+    def make_decode_n():
+        @partial(jax.jit, static_argnames="n", donate_argnums=(2,))
+        def decode_n(p, first, cache, n):
+            toks, _ = M.multi_step_decode(p, config, first, cache, n, None,
+                                          qt, jnp.bfloat16, rt)
+            return toks.sum()
+        return decode_n
+
+    saved = PM._INT4_SCHEME
+    for scheme in ("broadcast", "grouped", "bt_grouped"):
+        PM._INT4_SCHEME = scheme
+        decode_n = make_decode_n()
+        try:
+            for n in (8, 40):
+                compile_(f"decode_n({n})/{scheme}",
+                         decode_n.lower(params, first, cache, n=n))
+        finally:
+            PM._INT4_SCHEME = saved
+
+    if "--skip-microbench" not in sys.argv:
+        import benchmarks.kernel_microbench as KM
+
+        for mode in ("bf16", "int8", "int8_bt", "int4_noscale", "int4",
+                     "int4_repeat", "int4_grouped", "int4_batched",
+                     "int4_bittrick", "int4_bt_grouped", "int4_convert_i8"):
+            x = jax.ShapeDtypeStruct((KM.M, KM.K), jnp.bfloat16, sharding=SH)
+            if mode.startswith("int4"):
+                w = jax.ShapeDtypeStruct((KM.L, KM.K // 2, KM.N), jnp.uint8,
+                                         sharding=SH)
+            elif mode in ("int8", "int8_bt"):
+                w = jax.ShapeDtypeStruct((KM.L, KM.K, KM.N), jnp.int8,
+                                         sharding=SH)
+            else:
+                w = jax.ShapeDtypeStruct((KM.L, KM.K, KM.N), jnp.bfloat16,
+                                         sharding=SH)
+            s = jax.ShapeDtypeStruct((KM.L, KM.K // 32, KM.N), jnp.bfloat16,
+                                     sharding=SH)
+            reps = jax.ShapeDtypeStruct((), jnp.int32, sharding=SH)
+
+            @jax.jit
+            def run(x, w, s, reps, _m=mode):
+                def outer(_, x):
+                    def body(x, wl):
+                        wi, si = wl
+                        y = KM.matmul(_m, x, wi, si)
+                        return (y * 1e-2).astype(jnp.bfloat16), None
+                    x, _ = jax.lax.scan(body, x, (w, s))
+                    return x
+                x = jax.lax.fori_loop(0, reps, outer, x)
+                return x.sum()
+
+            compile_(f"microbench/{mode}", run.lower(x, w, s, reps))
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,12 @@ step() {  # step <name> <timeout-s> <cmd...>
   return $rc
 }
 
-# 0. health probe (fast fail if the device is still wedged)
+# 0a. chipless AOT precompile: populate the persistent cache with every
+# measurement program via the LOCAL libtpu (seconds each; remote compiles
+# cost minutes and have wedged the device before).  Never touches the TPU.
+step aot_precompile 900 python benchmarks/aot_precompile.py
+
+# 0b. health probe (fast fail if the device is still wedged)
 timeout 110 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
   || { echo "TPU not responding — aborting"; exit 1; }
 
