@@ -80,12 +80,16 @@ def main():
     key = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=SH)
 
     def compile_(name, lowerable):
+        # accepts a Lowered OR a thunk producing one (tracing itself can
+        # raise for legitimately-unsupported candidate configs)
         t0 = time.time()
         try:
+            if callable(lowerable):
+                lowerable = lowerable()
             lowerable.compile()
             log(f"{name}: compiled in {time.time() - t0:.0f}s")
         except Exception as e:
-            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            log(f"{name}: SKIP {type(e).__name__}: {str(e)[:160]}")
 
     compile_("make_params", jax.jit(
         lambda k: bench.random_quantized_params(k, config, qt)).lower(key))
@@ -162,7 +166,90 @@ def main():
 
             compile_(f"microbench/{mode}", run.lower(x, w, s, reps))
 
+    if "--sweep" in sys.argv:
+        precompile_sweep(SH, compile_)
+    if "--full" in sys.argv:
+        precompile_full_bench(SH, compile_)
+
     log("done")
+
+
+
+
+
+def precompile_sweep(SH, compile_):
+    """Every autotune-sweep candidate program (the sweep's dominant cost on
+    hardware is its per-candidate Mosaic compiles)."""
+    import benchmarks.autotune_sweep as AS
+
+    for kernel, cands in (("int4", AS.INT4_CANDIDATES),
+                          ("int8", AS.INT8_CANDIDATES)):
+        for name, (k, n, big) in AS.SHAPES.items():
+            for m in (8, 64):
+                for impl, cfg in cands:
+                    run = AS.build_chain(kernel, k, n, impl, cfg)
+                    shapes = AS.chain_arg_dtypes(kernel, m, k, n)
+                    args = [jax.ShapeDtypeStruct(s_[0], s_[1], sharding=SH)
+                            for s_ in shapes]
+                    reps = jax.ShapeDtypeStruct((), jnp.int32, sharding=SH)
+                    compile_(f"sweep/{kernel}/{name}/m{m}/{impl}/"
+                             f"{cfg.get('scheme')}/bn{cfg.get('bn')}",
+                             lambda run=run, args=args: run.lower(*args, reps))
+
+
+def precompile_full_bench(SH, compile_):
+    """full_bench decode programs: int4 (3 schemes) and int8 (2 schemes)
+    across the runbook's batch sizes, flash and flash+v2 attention."""
+    import benchmarks.full_bench as FB
+    import bench
+    from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.ops import pallas_matmul as PM
+
+    config = ChatGLM2Config()
+
+    def structs(qt, batch, cache_len=1024):
+        params = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=SH),
+            jax.eval_shape(lambda k: bench.random_quantized_params(k, config, qt),
+                           jax.random.PRNGKey(0)))
+        cache = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=SH),
+            jax.eval_shape(lambda: M.init_kv_cache(config, batch, cache_len,
+                                                   jnp.bfloat16)))
+        first = jax.ShapeDtypeStruct((batch,), jnp.int32, sharding=SH)
+        return params, first, cache
+
+    rt_flash = TpuRuntimeConfig(use_flash_attention=True)
+    rt_v2 = TpuRuntimeConfig(use_flash_attention=True, decode_attn_v2=True)
+
+    saved4, saved8 = PM._INT4_SCHEME, PM._INT8_SCHEME
+    try:
+        for scheme in ("broadcast", "grouped", "bt_grouped"):
+            PM._INT4_SCHEME = scheme
+            for batch in (1, 8, 16, 32):
+                p, f, c = structs("int4g32", batch)
+                dn = FB.make_decode_n(config, "int4g32", rt_flash)
+                for n in (8, 40):
+                    compile_(f"fb/int4/{scheme}/b{batch}/flash/n{n}",
+                             dn.lower(p, f, c, n=n))
+            for batch in (1, 8):
+                p, f, c = structs("int4g32", batch)
+                dn = FB.make_decode_n(config, "int4g32", rt_v2)
+                for n in (8, 40):
+                    compile_(f"fb/int4/{scheme}/b{batch}/v2/n{n}",
+                             dn.lower(p, f, c, n=n))
+        PM._INT4_SCHEME = saved4
+        for scheme in ("convert", "bt"):
+            PM._INT8_SCHEME = scheme
+            for batch in (1, 8):
+                p, f, c = structs("int8", batch)
+                dn = FB.make_decode_n(config, "int8", rt_flash)
+                for n in (8, 40):
+                    compile_(f"fb/int8/{scheme}/b{batch}/flash/n{n}",
+                             dn.lower(p, f, c, n=n))
+    finally:
+        PM._INT4_SCHEME, PM._INT8_SCHEME = saved4, saved8
 
 
 if __name__ == "__main__":

@@ -75,8 +75,34 @@ INT8_CANDIDATES = [
 ]
 
 
-def _chain_time(call, x, w, s):
-    """Per-call seconds for y = call(x, w_i, s_i) chained over L weights."""
+def build_chain(kernel, k, n, impl, cfg):
+    """The candidate's chained timing program (module-level so
+    benchmarks/aot_precompile.py can pre-populate its compile-cache
+    entry).  Returns a fresh jit ``run(x, w, s, reps)``."""
+    if kernel == "int4":
+        if impl == "pipelined":
+            def call(x, wi, si):
+                out = PM.int4_matmul_pallas_pipelined(
+                    x, wi, si, bn_cap=cfg["bn"], scheme=cfg["scheme"])
+                assert out is not None, "pipelined unsupported for this shape"
+                return out
+        else:
+            def call(x, wi, si):
+                return PM.int4_matmul_pallas(
+                    x, wi, si, bk_cap=cfg["bk"], bn_cap=cfg["bn"],
+                    scheme=cfg["scheme"])
+    else:
+        def call(x, wi, si):
+            return PM.int8_matmul_pallas(x, wi, si, bk_cap=cfg["bk"],
+                                         bn_cap=cfg["bn"],
+                                         scheme=cfg.get("scheme"))
+
+    # outputs (m, n) feed the next chain link's (m, k) input; pad/trim n→k
+    if n < k:
+        def call2(x, wi, si, _call=call):
+            y = _call(x, wi, si)
+            return jnp.pad(y, ((0, 0), (0, k - y.shape[1])))
+        call = call2
 
     @jax.jit
     def run(x, w, s, reps):
@@ -93,42 +119,28 @@ def _chain_time(call, x, w, s):
         x = jax.lax.fori_loop(0, reps, outer, x)
         return x.sum()
 
-    return slope_time(lambda n: force(run(x, w, s, n)), 2, 8) / L
+    return run
+
+
+def chain_arg_dtypes(kernel, m, k, n):
+    """(x, w, s) shapes/dtypes for build_chain programs."""
+    if kernel == "int4":
+        return (((m, k), jnp.bfloat16), ((L, k // 2, n), jnp.uint8),
+                ((L, k // 32, n), jnp.bfloat16))
+    return (((m, k), jnp.bfloat16), ((L, k, n), jnp.int8),
+            ((L, n), jnp.float32))
 
 
 def measure(kernel, m, k, n, impl, cfg):
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (m, k), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
     if kernel == "int4":
         w = jax.random.bits(jax.random.PRNGKey(1), (L, k // 2, n), jnp.uint8)
         s = jnp.full((L, k // 32, n), 0.01, jnp.bfloat16)
-        if impl == "pipelined":
-            def call(x, wi, si):
-                out = PM.int4_matmul_pallas_pipelined(
-                    x, wi, si, bn_cap=cfg["bn"], scheme=cfg["scheme"])
-                assert out is not None, "pipelined unsupported for this shape"
-                return out
-        else:
-            def call(x, wi, si):
-                return PM.int4_matmul_pallas(
-                    x, wi, si, bk_cap=cfg["bk"], bn_cap=cfg["bn"],
-                    scheme=cfg["scheme"])
     else:
         w = jax.random.bits(jax.random.PRNGKey(1), (L, k, n), jnp.uint8).astype(jnp.int8)
         s = jnp.full((L, n), 0.01, jnp.float32)
-
-        def call(x, wi, si):
-            return PM.int8_matmul_pallas(x, wi, si, bk_cap=cfg["bk"],
-                                         bn_cap=cfg["bn"],
-                                         scheme=cfg.get("scheme"))
-
-    # outputs (m, n) feed the next chain link's (m, k) input; pad/trim n→k
-    if n < k:
-        def call2(x, wi, si, _call=call):
-            y = _call(x, wi, si)
-            return jnp.pad(y, ((0, 0), (0, k - y.shape[1])))
-        call = call2
-    return _chain_time(call, x, w, s)
+    run = build_chain(kernel, k, n, impl, cfg)
+    return slope_time(lambda r: force(run(x, w, s, r)), 2, 8) / L
 
 
 def main():

@@ -31,10 +31,9 @@ from chatglm_q_tpu.models import chatglm2 as M
 from chatglm_q_tpu.utils.timing import force, slope_time
 
 
-def bench_decode(config, params, quant_type, batch, cache_len, rt, start_len=64):
-    cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)
-    cache = cache.replace(lengths=jnp.full((batch,), start_len, jnp.int32))
-    first = jnp.zeros((batch,), jnp.int32)
+def make_decode_n(config, quant_type, rt):
+    """The decode timing program (module-level so
+    benchmarks/aot_precompile.py can pre-populate its cache entry)."""
 
     @partial(jax.jit, static_argnames="n")
     def decode_n(p, first, cache, n):
@@ -42,6 +41,15 @@ def bench_decode(config, params, quant_type, batch, cache_len, rt, start_len=64)
             p, config, first, cache, n, None, quant_type, jnp.bfloat16, rt
         )
         return toks.sum()
+
+    return decode_n
+
+
+def bench_decode(config, params, quant_type, batch, cache_len, rt, start_len=64):
+    cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)
+    cache = cache.replace(lengths=jnp.full((batch,), start_len, jnp.int32))
+    first = jnp.zeros((batch,), jnp.int32)
+    decode_n = make_decode_n(config, quant_type, rt)
 
     def run_n(n):
         return force(decode_n(params, first, cache, n))
