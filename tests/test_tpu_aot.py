@@ -217,3 +217,29 @@ def test_multichip_sharded_decode_compiles():
         jax.jit(
             lambda p, i, c: M.decode_step(p, cfg, i, c, qt, jnp.float32, rt)
         ).lower(params, ids, kv).compile()
+
+
+def test_attention_kernels_compile_8k():
+    """Full 8192 context (the reference's max_sequence_length): VMEM-block
+    feasibility of the ragged decode kernels at the long-context shapes."""
+    sm = 1.0 / np.sqrt(D)
+    T8 = 8192
+    aot(lambda q, k, v, l: PA.flash_attention_decode(
+            q, k, v, l, sm, interpret=False),
+        ((B, G, Hg, D), jnp.bfloat16), ((B, G, T8, D), jnp.bfloat16),
+        ((B, G, T8, D), jnp.bfloat16), ((B,), jnp.int32))
+    aot(lambda q, k, v, l: PA.flash_attention_decode_v2(
+            q, k, v, l, sm, interpret=False),
+        ((B, G, Hg, D), jnp.bfloat16), ((B, G, T8, D), jnp.bfloat16),
+        ((B, G, T8, D), jnp.bfloat16), ((B,), jnp.int32))
+    aot(lambda q, k, v, l: PA.flash_attention_prefill(
+            q, k, v, l, sm, interpret=False),
+        ((1, 2048, G, Hg, D), jnp.bfloat16), ((1, G, T8, D), jnp.bfloat16),
+        ((1, G, T8, D), jnp.bfloat16), ((1,), jnp.int32))
+    # paged at 8K: 32 pages/row of 256
+    L_, NP, P_, MP = 2, 64, 256, 32
+    aot(lambda q, kp, vp, li, pt, l: PA.flash_attention_decode_paged(
+            q, kp, vp, li, pt, l, sm, interpret=False),
+        ((B, G, Hg, D), jnp.bfloat16), ((L_, NP, G, P_, D), jnp.bfloat16),
+        ((L_, NP, G, P_, D), jnp.bfloat16), ((1,), jnp.int32),
+        ((B, MP), jnp.int32), ((B,), jnp.int32))
