@@ -215,6 +215,29 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
                                if (int4_storage_k(k), n) == (K, N) else None))
 
 
+def make_prefill(config: ChatGLM2Config, quant_type: str, rt: TpuRuntimeConfig):
+    """The headline prefill program (module-level so
+    benchmarks/aot_precompile.py compiles the byte-identical module)."""
+    return jax.jit(
+        lambda p, ids, l, c: M.prefill(p, config, ids, l, c, quant_type,
+                                       jnp.bfloat16, rt)
+    )
+
+
+def make_decode_n(config: ChatGLM2Config, quant_type: str, rt: TpuRuntimeConfig):
+    """The headline decode program (module-level, see make_prefill)."""
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n", donate_argnums=(2,))
+    def decode_n(p, first, cache, n):
+        toks, _ = M.multi_step_decode(
+            p, config, first, cache, n, None, quant_type, jnp.bfloat16, rt
+        )
+        return toks.sum()  # scalar to force
+
+    return decode_n
+
+
 def make_params(config: ChatGLM2Config, quant_type: str, seed: int = 0):
     """Generate random params under ONE jit (eager generation lets dozens of
     RNG transients pile up in flight and OOMs this backend)."""
@@ -248,19 +271,29 @@ def probe_backend(retries: int = 3, timeout_s: int = 160) -> str | None:
     err = "unknown"
     for attempt in range(retries):
         try:
+            # the INNER `timeout` delivers SIGTERM (never SIGKILL a TPU
+            # client mid-compile — a killed client's remote compile jobs
+            # wedge the device; CLAUDE.md iron rule); the outer timeout is
+            # a backstop 20 s later
             r = subprocess.run(
-                [sys.executable, "-c",
+                ["timeout", str(timeout_s),
+                 sys.executable, "-c",
                  "import jax, jax.numpy as jnp;"
                  "print(float(jnp.ones((8, 8)).sum()))"],
-                capture_output=True, text=True, timeout=timeout_s,
+                capture_output=True, text=True, timeout=timeout_s + 20,
             )
             if r.returncode == 0:
                 return None
-            err = (r.stderr.strip().splitlines() or ["rc=%d" % r.returncode])[-1][:300]
+            if r.returncode == 124:
+                err = f"device probe hung >{timeout_s}s (backend wedged?)"
+            else:
+                err = (r.stderr.strip().splitlines()
+                       or ["rc=%d" % r.returncode])[-1][:300]
         except subprocess.TimeoutExpired:
             err = f"device probe hung >{timeout_s}s (backend wedged?)"
         _log(f"backend probe attempt {attempt + 1}/{retries} failed: {err}")
-        time.sleep(20)
+        if attempt + 1 < retries:
+            time.sleep(20)
     return err
 
 
@@ -301,24 +334,14 @@ def main():
     lengths = jnp.full((batch,), prefill_len, jnp.int32)
 
     _log("params built")
-    prefill = jax.jit(
-        lambda p, ids, l, c: M.prefill(p, config, ids, l, c, quant_type, jnp.bfloat16, rt)
-    )
+    prefill = make_prefill(config, quant_type, rt)
     logits, cache0 = prefill(params, prompt, lengths, cache)
     first = jnp.argmax(logits, -1).astype(jnp.int32)
     force(first)
     _log("prefill compiled+run")
 
-    from functools import partial
+    decode_n = make_decode_n(config, quant_type, rt)
 
-    @partial(jax.jit, static_argnames="n", donate_argnums=(2,))
-    def decode_n(p, first, cache, n):
-        toks, cache = M.multi_step_decode(
-            p, config, first, cache, n, None, quant_type, jnp.bfloat16, rt
-        )
-        return toks.sum()  # scalar to force
-
-    import copy as _copy
     def run_n(n):
         c = jax.tree.map(lambda x: x.copy(), cache0)
         return force(decode_n(params, first, c, n))
@@ -341,7 +364,10 @@ if __name__ == "__main__":
         _err = probe_backend()
         if _err is not None:
             emit_error(f"backend init failed: {_err}")
-            sys.exit(0)  # rc 0: the JSON line IS the (error) result
+            # NONZERO rc: the stdout JSON keeps driver artifacts
+            # machine-readable, while resumable runners (r2_measure.sh
+            # .done markers) must NOT mark a failed headline as done
+            sys.exit(1)
     try:
         main()
     except Exception as e:  # never leak a traceback to stdout
@@ -349,4 +375,4 @@ if __name__ == "__main__":
 
         traceback.print_exc(file=sys.stderr)
         emit_error(f"{type(e).__name__}: {e}")
-        sys.exit(0)
+        sys.exit(1)

@@ -1,12 +1,15 @@
 """Chipless pre-compilation of the TPU measurement programs.
 
 The local libtpu compiles for a v5e topology whose ``device_kind`` ("TPU v5
-lite") matches the tunneled bench chip, and every compile lands in the
-persistent cache (/root/.cache/jax_comp).  Remote compiles through the
-tunnel cost MINUTES each and have repeatedly wedged the device
-(.claude/skills/verify/SKILL.md); local AOT compiles of the same programs
-take seconds.  Run this BEFORE a measurement session so the hardware run
-is (at worst-case) a string of cache hits.
+lite") matches the tunneled bench chip.  PRIMARY purpose: validate that
+every measurement program Mosaic-compiles for the real hardware before a
+measurement session (this is how the round-3 f16-scale / lane-reshape /
+vector-shift bugs were caught).  The compiles also land in the persistent
+cache, but NOTE: topology lowering embeds sdy.sharding annotations that a
+plain single-device run does not, so these entries do NOT hit for the
+default hardware runs (verified via jax cache-key canonicalization) — for
+fast hardware compiles use client-side compile mode instead
+(PALLAS_AXON_REMOTE_COMPILE=0; docs/STATUS.md wake plan).
 
 Covers, at flagship 6B shapes:
 * bench.py: make_params, prefill, decode_n(8/40) under EVERY int4 scheme
@@ -93,9 +96,9 @@ def main():
 
     compile_("make_params", jax.jit(
         lambda k: bench.random_quantized_params(k, config, qt)).lower(key))
-    compile_("prefill", jax.jit(
-        lambda p, i, l, c: M.prefill(p, config, i, l, c, qt, jnp.bfloat16, rt)
-    ).lower(params, prompt, lengths, cache))
+    compile_("prefill",
+             bench.make_prefill(config, qt, rt).lower(params, prompt,
+                                                      lengths, cache))
 
     # scheme-probe chains (what bench.ensure_scheme_probe compiles first)
     H, Ip = config.hidden_size, int4_storage_k(config.inner_hidden_size)
@@ -113,18 +116,10 @@ def main():
     # scheme changes the kernels inside the scan body).  A FRESH jit per
     # scheme: jax.jit caches traces by shapes/statics only, so reusing one
     # jit object would silently re-lower the first scheme's program.
-    def make_decode_n():
-        @partial(jax.jit, static_argnames="n", donate_argnums=(2,))
-        def decode_n(p, first, cache, n):
-            toks, _ = M.multi_step_decode(p, config, first, cache, n, None,
-                                          qt, jnp.bfloat16, rt)
-            return toks.sum()
-        return decode_n
-
     saved = PM._INT4_SCHEME
     for scheme in ("broadcast", "grouped", "bt_grouped"):
         PM._INT4_SCHEME = scheme
-        decode_n = make_decode_n()
+        decode_n = bench.make_decode_n(config, qt, rt)
         try:
             for n in (8, 40):
                 compile_(f"decode_n({n})/{scheme}",
@@ -185,7 +180,7 @@ def precompile_sweep(SH, compile_):
     for kernel, cands in (("int4", AS.INT4_CANDIDATES),
                           ("int8", AS.INT8_CANDIDATES)):
         for name, (k, n, big) in AS.SHAPES.items():
-            for m in (8, 64):
+            for m in (8, 64, 256):
                 for impl, cfg in cands:
                     run = AS.build_chain(kernel, k, n, impl, cfg)
                     shapes = AS.chain_arg_dtypes(kernel, m, k, n)

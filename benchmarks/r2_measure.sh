@@ -19,10 +19,13 @@ step() {  # step <name> <timeout-s> <cmd...>
   return $rc
 }
 
-# 0a. chipless AOT precompile: populate the persistent cache with every
-# measurement program via the LOCAL libtpu (seconds each; remote compiles
-# cost minutes and have wedged the device before).  Never touches the TPU.
-step aot_precompile 900 python benchmarks/aot_precompile.py
+# 0a. chipless AOT compile-validation of every measurement program via the
+# LOCAL libtpu (catches Mosaic-fatal bugs before burning device time; the
+# cache entries it writes do NOT hit plain runs — see aot_precompile.py).
+# Never touches the TPU.  For fast on-device compiles prefer client-side
+# compile mode: prefix steps with PALLAS_AXON_REMOTE_COMPILE=0 once
+# tpu_smoke validates it.
+step aot_precompile 1800 python benchmarks/aot_precompile.py --sweep --full
 
 # 0b. health probe (fast fail if the device is still wedged)
 timeout 110 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \

@@ -62,9 +62,13 @@ def lmhead_pad(p: dict, quant_type: str) -> dict:
 #   v5e AOT compile of every int4 kernel fails with "Invalid vector type
 #   for load" / "Unsupported cast: float16 -> bfloat16" on the f16 scale
 #   tiles (verified round 3; f16 vector ops have no VPU support there);
-# * the kernels multiply scales in bf16 anyway (``s.astype(x.dtype)``
-#   with bf16 activations), so bf16 HBM storage is numerically identical
-#   on the production path.
+# * the broadcast scheme multiplies scales in bf16 (``s.astype(x.dtype)``
+#   with bf16 activations), where bf16 storage is numerically identical;
+#   the grouped/bt_grouped schemes upcast scales to f32 for the partial
+#   dots, so for a reference f16 checkpoint the one-time f16→bf16 load
+#   rounding (≤2⁻⁸ relative on the scale) IS a real numerics change there
+#   — accepted: it is the same magnitude as the bf16 weight-dequant
+#   rounding all schemes already carry, and the parity suite pins it.
 # On disk the reference f16 format is preserved (loader.py converts both
 # ways), so checkpoint interop is unchanged.  Quantization grids are still
 # computed against f32 scales (grid parity with the reference's f32 runs).

@@ -504,7 +504,10 @@ class PagedServingEngine(ServingEngine):
                 jnp.asarray(garb), n, self.speculative_k,
                 self.speculative_ngram, full_batch=full, **extra,
             )
-        drafts, accepts, nexts = map(np.asarray, (drafts, accepts, nexts))
+        # _fetch, not np.asarray: under multi-process these are sharded
+        # over the data axis (non-addressable shards) like the plain
+        # chunk's toks
+        drafts, accepts, nexts = map(self._fetch, (drafts, accepts, nexts))
         out = started
         if rows is None:
             rows = {b: i for i, b in enumerate(active)}
