@@ -243,3 +243,61 @@ def test_attention_kernels_compile_8k():
         ((B, G, Hg, D), jnp.bfloat16), ((L_, NP, G, P_, D), jnp.bfloat16),
         ((L_, NP, G, P_, D), jnp.bfloat16), ((1,), jnp.int32),
         ((B, MP), jnp.int32), ((B,), jnp.int32))
+
+
+def test_sharded_attention_kernels_compile():
+    """The shard_map-wrapped Pallas attention paths (T-sharded decode with
+    log-sum-exp merge; model-sharded paged decode; ring prefill) compiled
+    for real v5e over a 4-device topology mesh."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from chatglm_q_tpu.parallel import sharding as S
+    from chatglm_q_tpu.parallel.ring_attention import ring_attention
+
+    topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 2),
+                (S.DATA_AXIS, S.MODEL_AXIS))
+    sm = 1.0 / np.sqrt(D)
+    T = 1024
+
+    def st(shape, dtype, spec):
+        return jax.ShapeDtypeStruct(shape, dtype,
+                                    sharding=NamedSharding(mesh, spec))
+
+    B2 = 2
+    q = st((B2, G, Hg, D), jnp.bfloat16, P(S.DATA_AXIS))
+    k = st((B2, G, T, D), jnp.bfloat16, P(S.DATA_AXIS, None, S.MODEL_AXIS))
+    v = st((B2, G, T, D), jnp.bfloat16, P(S.DATA_AXIS, None, S.MODEL_AXIS))
+    lengths = st((B2,), jnp.int32, P(S.DATA_AXIS))
+    with mesh:
+        jax.jit(lambda q, k, v, l: PA.flash_attention_decode_kv_tsharded(
+            q, k, v, l, sm, mesh, interpret=False)).lower(
+                q, k, v, lengths).compile()
+
+    # ring-attention prefill (XLA einsum body — no Pallas inside, but the
+    # shard_map + ppermute program must compile for the ICI topology)
+    S_ = 256
+    qr = st((B2, S_, G, Hg, D), jnp.bfloat16, P(S.DATA_AXIS, S.MODEL_AXIS))
+    kr = st((B2, S_, G, D), jnp.bfloat16, P(S.DATA_AXIS, S.MODEL_AXIS))
+    vr = st((B2, S_, G, D), jnp.bfloat16, P(S.DATA_AXIS, S.MODEL_AXIS))
+    lr = st((B2,), jnp.int32, P())
+    with mesh:
+        jax.jit(lambda q, k, v, l: ring_attention(
+            q, k, v, l, mesh, S.MODEL_AXIS, sm)).lower(
+                qr, kr, vr, lr).compile()
+
+    # model-sharded paged decode (strided local views + lse merge)
+    L_, NP, P_, MP = 2, 64, 64, 16
+    kp = st((L_, NP, G, P_, D), jnp.bfloat16,
+            P(None, (S.DATA_AXIS, S.MODEL_AXIS)))
+    vp = st((L_, NP, G, P_, D), jnp.bfloat16,
+            P(None, (S.DATA_AXIS, S.MODEL_AXIS)))
+    li = st((1,), jnp.int32, P())
+    pt = st((B2, MP), jnp.int32, P(S.DATA_AXIS))
+    lp = st((B2,), jnp.int32, P(S.DATA_AXIS))
+    with mesh:
+        jax.jit(lambda q, kp, vp, li, pt, l:
+                PA.flash_attention_decode_paged_msharded(
+                    q, kp, vp, li, pt, l, sm, mesh, interpret=False)).lower(
+                        q, kp, vp, li, pt, lp).compile()
