@@ -112,10 +112,11 @@ def main():
     want = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4)
     check("int4_pipelined", got, want, rtol=5e-2, atol=5e-1)
 
-    # dequant-scheme variants with f16 (production-storage) scales — the
+    # dequant-scheme variants with bf16 (production-storage; Mosaic v5e
+    # cannot load f16 vectors — ops/quant.py SCALE_DTYPE) scales — the
     # bench scheme probe / autotune sweep may select any of these, so they
     # must be hardware-validated, not only interpret-mode tested
-    s4h = s4.astype(jnp.float16)
+    s4h = s4.astype(jnp.bfloat16)
     want_h = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4h).astype(jnp.float32)
     for scheme in ("grouped", "bt_grouped"):
         got = PM.int4_matmul_pallas(x, p4, s4h, scheme=scheme)
