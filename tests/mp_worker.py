@@ -7,7 +7,10 @@ falsify: host-side scheduler lockstep (``sync_submissions`` padded
 broadcast) and host fetches of globally-sharded arrays only misbehave when
 ``jax.process_count() > 1``.
 
-Usage: python tests/mp_worker.py <process_id> <num_processes> <port> <out.json>
+Usage: python tests/mp_worker.py <process_id> <num_processes> <port> <out.json> [engine]
+``engine``: "dense" (default) or "paged_spec" (DistributedPagedServingEngine
+with in-graph speculative decoding — exercises the spec-chunk ``_fetch``
+path, which fetches data-sharded draft/accept arrays every chunk).
 Writes {"tokens": {req_id: [ids...]}, "process": i} to out.json.
 """
 import json
@@ -32,6 +35,7 @@ PROMPTS = [[3, 17, 42], [7, 9, 11, 13]]
 def main():
     proc_id, n_proc, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    engine_kind = sys.argv[5] if len(sys.argv) > 5 else "dense"
     if n_proc > 1:
         from chatglm_q_tpu.utils.distributed import initialize
 
@@ -46,7 +50,8 @@ def main():
                                       TpuRuntimeConfig)
     from chatglm_q_tpu.models import chatglm2 as M
     from chatglm_q_tpu.parallel import sharding as S
-    from chatglm_q_tpu.serving.dist_engine import DistributedServingEngine
+    from chatglm_q_tpu.serving.dist_engine import (
+        DistributedPagedServingEngine, DistributedServingEngine)
 
     config = ChatGLM2Config(
         hidden_size=64, inner_hidden_size=128, head_hidden_size=16,
@@ -62,11 +67,19 @@ def main():
     load_cfg = GLMLoadConfig(model_config=config, quant_type=quant_type,
                              torch_dtype="float32")
     with mesh:
-        engine = DistributedServingEngine(
-            load_cfg, params, None, mesh=mesh, max_batch=4,
-            max_seq_len=64, decode_chunk=4,
-            rt=TpuRuntimeConfig(use_pallas=False),
-        )
+        if engine_kind == "paged_spec":
+            engine = DistributedPagedServingEngine(
+                load_cfg, params, None, mesh=mesh, max_batch=4,
+                max_seq_len=64, decode_chunk=4, num_pages=18, page_size=8,
+                speculative_k=3,
+                rt=TpuRuntimeConfig(use_pallas=False, mesh=mesh),
+            )
+        else:
+            engine = DistributedServingEngine(
+                load_cfg, params, None, mesh=mesh, max_batch=4,
+                max_seq_len=64, decode_chunk=4,
+                rt=TpuRuntimeConfig(use_pallas=False),
+            )
         # host 0 is the request front-end; other hosts receive via broadcast
         engine.sync_submissions(
             PROMPTS if jax.process_index() == 0 else None,

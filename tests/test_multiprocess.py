@@ -33,15 +33,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(n_proc: int, tmp_path) -> list[dict]:
+def _run_workers(n_proc: int, tmp_path, engine: str = "dense") -> list[dict]:
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs, outs = [], []
     for i in range(n_proc):
-        out = tmp_path / f"out_{n_proc}p_{i}.json"
+        out = tmp_path / f"out_{engine}_{n_proc}p_{i}.json"
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(n_proc), str(port), str(out)],
+            [sys.executable, WORKER, str(i), str(n_proc), str(port), str(out),
+             engine],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         ))
@@ -72,3 +73,20 @@ def test_two_process_lockstep_token_exact(tmp_path):
     assert one[0]["tokens"] == two[0]["tokens"], (
         "2-process run diverged from the single-process oracle on the same "
         f"global mesh:\n1p={one[0]['tokens']}\n2p={two[0]['tokens']}")
+
+
+def test_two_process_paged_speculative_token_exact(tmp_path):
+    """The distributed PAGED engine with in-graph speculation across two
+    real processes: the spec chunk fetches data-sharded draft/accept/next
+    arrays every step (paged_engine._spec_step → _fetch), which a
+    single-process mesh can never falsify."""
+    two = _run_workers(2, tmp_path, engine="paged_spec")
+    assert two[0]["tokens"] == two[1]["tokens"], (
+        f"proc0={two[0]['tokens']}\nproc1={two[1]['tokens']}")
+    one = _run_workers(1, tmp_path, engine="paged_spec")
+    assert one[0]["tokens"] == two[0]["tokens"], (
+        f"1p={one[0]['tokens']}\n2p={two[0]['tokens']}")
+    # speculation must not change the tokens either
+    dense = _run_workers(1, tmp_path, engine="dense")
+    assert dense[0]["tokens"] == two[0]["tokens"], (
+        f"dense={dense[0]['tokens']}\nspec={two[0]['tokens']}")
