@@ -225,7 +225,11 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
     * ``bt_grouped``: grouped partials on _bittrick_unpack's biased-nibble
       bf16 weights (no int→float convert) with the −136·s offset folded
       into ONE rank-1 (bm, gb)·(gb, bn) MXU matmul on per-group activation
-      sums — exact, and NO per-weight-element VPU work remains at all.
+      sums — exact.  Per-weight-element work drops to two cheap integer
+      lane passes (nibble→i16 unpack + mantissa OR): no convert, no
+      per-element multiply.  With that the VPU term is comparable to the
+      DMA time, so the remaining win comes from the pipeline overlapping
+      them (Mosaic double-buffering / the pipelined kernel).
     """
     k = pl.program_id(2)
 
