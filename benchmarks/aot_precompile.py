@@ -132,7 +132,8 @@ def main():
 
         for mode in ("bf16", "int8", "int8_bt", "int4_noscale", "int4",
                      "int4_repeat", "int4_grouped", "int4_batched",
-                     "int4_bittrick", "int4_bt_grouped", "int4_convert_i8"):
+                     "int4_bittrick", "int4_bt_grouped", "int4_convert_i8",
+                     "int4_dma"):
             x = jax.ShapeDtypeStruct((KM.M, KM.K), jnp.bfloat16, sharding=SH)
             if mode.startswith("int4"):
                 w = jax.ShapeDtypeStruct((KM.L, KM.K // 2, KM.N), jnp.uint8,

@@ -143,6 +143,12 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
         dl = jnp.dot(x, wl, preferred_element_type=jnp.float32)
         xsum = x.astype(jnp.float32).sum(axis=1, keepdims=True)
         acc_ref[...] += 8.0 * dh + 0.5 * dl - 2304.0 * xsum
+    elif mode == "int4_dma":
+        # pure-DMA floor: stream the packed bytes, minimal VPU (one u8 sum
+        # per block) and no MXU — the time left after subtracting this from
+        # a scheme's time is its compute's NON-overlapped portion
+        p = p_ref[...]
+        acc_ref[...] += p.astype(jnp.float32).sum() * 1e-6
     else:  # bf16
         acc_ref[...] += jnp.dot(x, p_ref[...], preferred_element_type=jnp.float32)
 
@@ -153,7 +159,7 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
 
 _INT4_MODES = ("int4", "int4_noscale", "int4_repeat", "int4_grouped",
                "int4_batched", "int4_bittrick", "int4_bt_grouped",
-               "int4_convert_i8")
+               "int4_convert_i8", "int4_dma")
 
 
 def matmul(mode, x, p, s):
@@ -224,7 +230,7 @@ if __name__ == "__main__":
     modes = sys.argv[1:] or ("bf16", "int8", "int8_bt", "int4_noscale", "int4",
                              "int4_repeat", "int4_grouped", "int4_batched",
                              "int4_bittrick", "int4_bt_grouped",
-                             "int4_convert_i8")
+                             "int4_convert_i8", "int4_dma")
     for mode in modes:
         try:
             bench_mode(mode)
