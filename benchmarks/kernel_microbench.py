@@ -148,7 +148,8 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
         # per block) and no MXU — the time left after subtracting this from
         # a scheme's time is its compute's NON-overlapped portion
         p = p_ref[...]
-        acc_ref[...] += p.astype(jnp.float32).sum() * 1e-6
+        # u8→f32 casts don't legalize on v5e; go via i32
+        acc_ref[...] += p.astype(jnp.int32).sum().astype(jnp.float32) * 1e-6
     else:  # bf16
         acc_ref[...] += jnp.dot(x, p_ref[...], preferred_element_type=jnp.float32)
 
