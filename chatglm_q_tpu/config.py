@@ -141,6 +141,11 @@ class TpuRuntimeConfig:
     # manual double-buffered HBM reads with a dynamic trip count, enabled by
     # the (L, B, G, T, D) cache layout's contiguous per-group rows.
     decode_attn_v2: bool = False
+    # Training: rematerialize each layer in the backward pass instead of
+    # storing its activations (jax.checkpoint around the layer-scan body) —
+    # activation HBM drops from O(num_layers) to O(1) layers at the cost of
+    # one extra forward recompute, the standard TPU FLOPs-for-memory trade.
+    remat_layers: bool = False
     # Flash-attention block sizes.
     attn_block_q: int = 256
     attn_block_k: int = 512

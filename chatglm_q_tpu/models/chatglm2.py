@@ -550,6 +550,14 @@ def forward(
         (past_k, past_v) if past_k is not None else None,
         layer_rngs,
     )
+    if rt.remat_layers:
+        # scan-over-remat-blocks: activations of each layer are recomputed
+        # in the backward pass instead of stored — training activation
+        # memory drops from O(L) to O(1) layers (the standard TPU trade of
+        # FLOPs for HBM; matmul-heavy blocks recompute nearly for free
+        # under the MXU roof).  Exact same math — grads bit-match the
+        # plain scan (tests/test_train.py).
+        scan_body = jax.checkpoint(scan_body)
     h, kvs = jax.lax.scan(scan_body, h, xs)
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)

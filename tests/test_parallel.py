@@ -381,3 +381,35 @@ def test_partition_freezes_quantized_scales_and_bias():
     assert not np.array_equal(
         np.asarray(trainable["layers"]["attn_ln"]["weight"]),
         np.asarray(trainable2["layers"]["attn_ln"]["weight"]))
+
+
+def test_remat_layers_grads_bit_match():
+    """rt.remat_layers (jax.checkpoint around the layer-scan body) must be
+    a pure memory/FLOPs trade: loss and grads identical to the plain scan."""
+    import optax
+
+    from chatglm_q_tpu.utils.train import make_train_step, partition_params
+
+    cfg = ChatGLM2Config(
+        hidden_size=64, inner_hidden_size=128, head_hidden_size=16,
+        num_multi_query_groups=2, num_attention_heads=4, num_layers=3,
+        vocab_size=128, max_sequence_length=32,
+    )
+    params = M.init_params(jax.random.PRNGKey(0), cfg, "int4g32", jnp.float32)
+    trainable, frozen = partition_params(params)
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(trainable)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 128)
+
+    outs = {}
+    for remat in (False, True):
+        rt = TpuRuntimeConfig(use_pallas=False, remat_layers=remat)
+        step = jax.jit(make_train_step(cfg, "int4g32", opt, jnp.float32, rt))
+        t2, _, loss = step(trainable, frozen, opt_state, ids, labels)
+        outs[remat] = (float(loss), t2)
+
+    assert outs[False][0] == outs[True][0]
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
