@@ -556,7 +556,7 @@ def forward(
         # memory drops from O(L) to O(1) layers (the standard TPU trade of
         # FLOPs for HBM; matmul-heavy blocks recompute nearly for free
         # under the MXU roof).  Exact same math — grads bit-match the
-        # plain scan (tests/test_train.py).
+        # plain scan (tests/test_parallel.py).
         scan_body = jax.checkpoint(scan_body)
     h, kvs = jax.lax.scan(scan_body, h, xs)
 
