@@ -191,10 +191,12 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
 
     results, impls = {}, {}
     for scheme in ("broadcast", "grouped", "bt_grouped"):
-        impls[scheme] = _probe_impl_call(x, packs[0], scales[0], scheme)[1]
-        chain = make_probe_chain(K, L, scheme)
-
         try:
+            # the eager dispatch probe compiles the kernel — it must be
+            # inside the try: a scheme that fails to Mosaic-compile LOSES,
+            # it must not crash the headline run
+            impls[scheme] = _probe_impl_call(x, packs[0], scales[0], scheme)[1]
+            chain = make_probe_chain(K, L, scheme)
             t = slope_time(lambda n: force(chain(x, packs, scales, n)), 4, 16)
         except Exception as e:  # a scheme that fails to compile loses
             _log(f"scheme probe: {scheme} failed ({type(e).__name__})")

@@ -144,11 +144,12 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
         xsum = x.astype(jnp.float32).sum(axis=1, keepdims=True)
         acc_ref[...] += 8.0 * dh + 0.5 * dl - 2304.0 * xsum
     elif mode == "int4_dma":
-        # pure-DMA floor: stream the packed bytes, minimal VPU (one u8 sum
-        # per block) and no MXU — the time left after subtracting this from
-        # a scheme's time is its compute's NON-overlapped portion
-        p = p_ref[...]
-        # u8→f32 casts don't legalize on v5e; go via i32
+        # pure-DMA floor: Pallas copies the FULL weight block to VMEM per
+        # the BlockSpec regardless of use, so consuming only 8 rows keeps
+        # the whole-stream DMA with negligible VPU work (summing the whole
+        # block would itself cost ~2 VPU passes and mask the DMA time).
+        # u8→f32 casts don't legalize on v5e; go via i32.
+        p = p_ref[:8, :]
         acc_ref[...] += p.astype(jnp.int32).sum().astype(jnp.float32) * 1e-6
     else:  # bf16
         acc_ref[...] += jnp.dot(x, p_ref[...], preferred_element_type=jnp.float32)

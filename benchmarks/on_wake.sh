@@ -30,16 +30,25 @@ got = jax.jit(lambda a, b, c: PM.int4_matmul_pallas(a, b, c, scheme="bt_grouped"
 want = x.astype(jnp.float32) @ unpack_int4_tpu(p, s)
 err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
 rel = err / (float(jnp.max(jnp.abs(want))) + 1e-9)
-assert rel < 2e-2, rel
+if rel >= 2e-2:
+    # rc 2 = the KERNEL is numerically wrong — the caller must ABORT, not
+    # fall back to remote mode and measure a known-bad kernel
+    print("kernel-vs-oracle MISMATCH, rel", rel)
+    import sys; sys.exit(2)
 print("kernel-vs-oracle OK, rel", rel)
 EOF
 MODE_ENV=""
-if PALLAS_AXON_REMOTE_COMPILE=0 timeout 550 python /tmp/wake_check.py \
-     > benchmarks/logs/wake_localcompile.log 2>&1; then
+PALLAS_AXON_REMOTE_COMPILE=0 timeout 550 python /tmp/wake_check.py \
+     > benchmarks/logs/wake_localcompile.log 2>&1
+rc=$?
+if [ $rc -eq 0 ]; then
   echo "client-side compile mode VALID — using it for all steps"
   MODE_ENV="PALLAS_AXON_REMOTE_COMPILE=0"
+elif [ $rc -eq 2 ]; then
+  echo "KERNEL NUMERICALLY WRONG (see benchmarks/logs/wake_localcompile.log) — aborting"
+  exit 2
 else
-  echo "client-side compile failed (see benchmarks/logs/wake_localcompile.log) — remote mode"
+  echo "client-side compile unavailable (rc=$rc) — remote mode"
 fi
 
 echo "== measurement sequence"

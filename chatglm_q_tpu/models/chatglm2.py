@@ -556,8 +556,11 @@ def forward(
         # memory drops from O(L) to O(1) layers (the standard TPU trade of
         # FLOPs for HBM; matmul-heavy blocks recompute nearly for free
         # under the MXU roof).  Exact same math — grads bit-match the
-        # plain scan (tests/test_parallel.py).
-        scan_body = jax.checkpoint(scan_body)
+        # plain scan (tests/test_parallel.py).  prevent_cse=False: scan
+        # already rules out the CSE hazard the default barriers guard
+        # against (documented jax.checkpoint-under-scan form); keeping the
+        # barriers would block XLA fusion in the backward pass.
+        scan_body = jax.checkpoint(scan_body, prevent_cse=False)
     h, kvs = jax.lax.scan(scan_body, h, xs)
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)

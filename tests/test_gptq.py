@@ -223,11 +223,11 @@ def test_midsize_gptq_degradation_budget():
     from tests.test_model_parity import MID, torch_to_params
     from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
     from chatglm_q_tpu.models import chatglm2 as M
+    ref_model_mod = pytest.importorskip("chatglm_q.model")
     from chatglm_q_tpu.quant.calibrate import gptq_quantize_model
     from chatglm_q.int4.quantizer import (GPTQLinearQuantizer,
                                           get_quant_embedding)
 
-    ref_model_mod = pytest.importorskip("chatglm_q.model")
     RT = TpuRuntimeConfig(use_pallas=False)
     torch.manual_seed(7)
     cfg_ref = ref_model_mod.ChatGLM2Config(**MID)

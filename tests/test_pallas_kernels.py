@@ -295,6 +295,6 @@ def test_int4_schemes_accuracy_across_scale_magnitudes():
         ref = np.abs(y64).max()
         for scheme in ("broadcast", "grouped", "bt_grouped"):
             y = PM.int4_matmul_pallas(xb, packed, sb, scheme=scheme,
-                                      interpret=True)
+                                      interpret=INTERPRET)
             err = np.abs(np.asarray(y, np.float64) - y64).max() / ref
             assert err < 6e-3, (scheme, smag, err)
