@@ -141,6 +141,12 @@ class TpuRuntimeConfig:
     # manual double-buffered HBM reads with a dynamic trip count, enabled by
     # the (L, B, G, T, D) cache layout's contiguous per-group rows.
     decode_attn_v2: bool = False
+    # Tensor-parallel serving with the FUSED Pallas kernels: each linear
+    # runs per-shard under shard_map with the Megatron col/row placement
+    # (parallel/tp_linear.py) instead of the GSPMD jnp-dequant fallback
+    # (which materializes bf16 weights — up to 4× the int4 HBM traffic per
+    # chip).  Serving/forward only; requires mesh.
+    tp_pallas: bool = False
     # Training: rematerialize each layer in the backward pass instead of
     # storing its activations (jax.checkpoint around the layer-scan body) —
     # activation HBM drops from O(num_layers) to O(1) layers at the cost of

@@ -205,8 +205,12 @@ def block_forward(
 
     h = rms_norm(x, layer_params["attn_ln"]["weight"], config.layernorm_epsilon)
 
-    q = quant_linear(h, layer_params["q_proj"], quant_type, rt)
-    kv = quant_linear(h, layer_params["kv_proj"], quant_type, rt)
+    # tp_mode hints (active only under rt.tp_pallas + mesh): q/w_in are
+    # column-parallel, o/w_out row-parallel, kv_proj replicated — matching
+    # parallel/sharding.py::param_pspecs
+    q = quant_linear(h, layer_params["q_proj"], quant_type, rt, tp_mode="col")
+    kv = quant_linear(h, layer_params["kv_proj"], quant_type, rt,
+                      tp_mode="rep")
     k, v = jnp.split(kv, 2, axis=-1)
 
     q = q.reshape(B, S, G, Hg, D)
@@ -427,16 +431,20 @@ def block_forward(
             dropout=attn_drop,
             kv_layout="btgd" if kv_write is None else "bgtd",
         )
-    attn_out = quant_linear(attn_in_tap, layer_params["o_proj"], quant_type, rt)
+    attn_out = quant_linear(attn_in_tap, layer_params["o_proj"], quant_type,
+                            rt, tp_mode="row")
     x = x + attn_out
 
     h2 = rms_norm(x, layer_params["ffn_ln"]["weight"], config.layernorm_epsilon)
-    gate_in = quant_linear(h2, layer_params["w_in_h"], quant_type, rt)
-    gate = quant_linear(h2, layer_params["w_in_gate"], quant_type, rt)
+    gate_in = quant_linear(h2, layer_params["w_in_h"], quant_type, rt,
+                           tp_mode="col")
+    gate = quant_linear(h2, layer_params["w_in_gate"], quant_type, rt,
+                        tp_mode="col")
     act = jax.nn.silu(gate_in) * gate
     if dropout is not None and not isinstance(mask_bias, tuple):
         act = _dropout(act, dropout[0], ffn_rng)
-    ffn = quant_linear(act, layer_params["w_out"], quant_type, rt)
+    ffn = quant_linear(act, layer_params["w_out"], quant_type, rt,
+                       tp_mode="row")
     x = x + ffn
     if collect_taps:
         taps = {"qkv_in": h, "o_in": attn_in_tap, "w_in_in": h2, "w_out_in": act}
@@ -564,7 +572,7 @@ def forward(
     h, kvs = jax.lax.scan(scan_body, h, xs)
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
-    logits = quant_linear(h, params["lm_head"], quant_type, rt)
+    logits = quant_linear(h, params["lm_head"], quant_type, rt, tp_mode="col")
     logits = logits[..., : config.vocab_size]  # strip lm_head N padding
 
     loss = None
@@ -687,7 +695,7 @@ def prefill(
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
     # only the last valid position's logits are needed
     last = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0]
-    logits = quant_linear(last, params["lm_head"], quant_type, rt)
+    logits = quant_linear(last, params["lm_head"], quant_type, rt, tp_mode="col")
     logits = logits[..., : config.vocab_size]
 
     new_cache = KVCache(k=new_k, v=new_v, lengths=lengths.astype(jnp.int32))
@@ -758,10 +766,10 @@ def prefill_chunk(
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
     if return_all_logits:
-        logits = quant_linear(h, params["lm_head"], quant_type, rt)
+        logits = quant_linear(h, params["lm_head"], quant_type, rt, tp_mode="col")
     else:
         last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
-        logits = quant_linear(last, params["lm_head"], quant_type, rt)
+        logits = quant_linear(last, params["lm_head"], quant_type, rt, tp_mode="col")
     logits = logits[..., : config.vocab_size]
 
     if slot_map is None:
@@ -804,7 +812,8 @@ def decode_step(
     )
 
     h = rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
-    logits = quant_linear(h[:, 0], params["lm_head"], quant_type, rt)
+    logits = quant_linear(h[:, 0], params["lm_head"], quant_type, rt,
+                          tp_mode="col")
     logits = logits[..., : config.vocab_size]
 
     new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + 1)

@@ -156,6 +156,7 @@ def quant_linear(
     params: dict,
     quant_type: str,
     rt: TpuRuntimeConfig = _DEFAULT_RT,
+    tp_mode: str | None = None,
 ) -> jax.Array:
     """Apply a (possibly quantized) linear layer to ``x (..., K)``.
 
@@ -171,6 +172,21 @@ def quant_linear(
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     flags = (rt.pallas_enabled(), rt.decode_m_threshold, rt.dynamic_int8)
+
+    if (tp_mode is not None and rt.tp_pallas and rt.mesh is not None
+            and rt.pallas_enabled() and quant_type != "none"):
+        # tensor-parallel FUSED kernels per shard (parallel/tp_linear.py) —
+        # the GSPMD fallback below dequantizes in XLA, which materializes
+        # the bf16 weights.  Forward-only (serving); None = config cannot
+        # take this path, fall through to the standard dispatch.
+        from ..parallel.tp_linear import tp_quant_linear
+
+        y = tp_quant_linear(x2, params, quant_type, rt, tp_mode)
+        if y is not None:
+            bias = params.get("bias")
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y.reshape(*lead, y.shape[-1])
 
     if quant_type == "none":
         y = x2 @ params["weight"].astype(x.dtype)

@@ -413,3 +413,45 @@ def test_remat_layers_grads_bit_match():
     for a, b in zip(jax.tree.leaves(outs[False][1]),
                     jax.tree.leaves(outs[True][1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("quant_type", ["int8", "int4g32"])
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+def test_tp_pallas_decode_matches_single_device(quant_type, mesh_shape):
+    """rt.tp_pallas: every linear runs as a per-shard fused kernel under
+    shard_map (Megatron col/row placement, parallel/tp_linear.py) — prefill
+    + decode tokens must match the single-device fallback path exactly."""
+    cfg = ChatGLM2Config(
+        hidden_size=256, inner_hidden_size=512, head_hidden_size=32,
+        num_multi_query_groups=2, num_attention_heads=8, num_layers=2,
+        vocab_size=1024, max_sequence_length=64,
+    )
+    params = M.init_params(jax.random.PRNGKey(0), cfg, quant_type, jnp.float32)
+
+    def run(rt, p):
+        cache = M.init_kv_cache(cfg, 2, 32, jnp.float32)
+        ids = jnp.asarray([[3, 17, 42, 99], [5, 7, 11, 13]])
+        lengths = jnp.full((2,), 4, jnp.int32)
+        logits, cache = jax.jit(
+            lambda p, i, l, c: M.prefill(p, cfg, i, l, c, quant_type,
+                                         jnp.float32, rt))(p, ids, lengths, cache)
+        step = jax.jit(lambda p, t, c: M.decode_step(p, cfg, t, c, quant_type,
+                                                     jnp.float32, rt))
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        out = [np.asarray(tok)]
+        for _ in range(3):
+            logits, cache = step(p, tok, cache)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            out.append(np.asarray(tok))
+        return np.stack(out)
+
+    want = run(TpuRuntimeConfig(use_pallas=False, use_flash_attention=False),
+               params)
+
+    mesh = S.make_mesh(*mesh_shape)
+    sharded = S.shard_params(params, mesh, cfg, quant_type)
+    rt_tp = TpuRuntimeConfig(use_pallas=True, use_flash_attention=False,
+                             tp_pallas=True, mesh=mesh)
+    with mesh:
+        got = run(rt_tp, sharded)
+    np.testing.assert_array_equal(got, want)

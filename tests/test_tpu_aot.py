@@ -301,3 +301,46 @@ def test_sharded_attention_kernels_compile():
                 PA.flash_attention_decode_paged_msharded(
                     q, kp, vp, li, pt, l, sm, mesh, interpret=False)).lower(
                         q, kp, vp, li, pt, lp).compile()
+
+
+def test_multichip_tp_pallas_decode_compiles(monkeypatch):
+    """The rt.tp_pallas serving program at 6B widths: per-shard fused
+    dequant kernels under shard_map (col/row Megatron placement) + the
+    shard_map'd flash decode — GSPMD-compiled for a (1, 4) v5e mesh."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.parallel import sharding as S
+
+    monkeypatch.setattr(PM, "_is_tpu", lambda: True)
+    monkeypatch.setattr(PA, "_is_tpu", lambda: True)
+
+    topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
+    mesh = Mesh(np.array(topo.devices).reshape(1, 4),
+                (S.DATA_AXIS, S.MODEL_AXIS))
+    cfg = ChatGLM2Config(num_layers=2)  # 6B widths
+    qt = "int4g32"
+    rt = TpuRuntimeConfig(use_pallas=True, use_flash_attention=True,
+                          tp_pallas=True, mesh=mesh)
+
+    shapes = jax.eval_shape(
+        lambda key: M.init_params(key, cfg, qt, jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    specs = S.param_pspecs(cfg, qt, shapes)
+    params = jax.tree.map(
+        lambda sds, spec: jax.ShapeDtypeStruct(
+            sds.shape, sds.dtype, sharding=NamedSharding(mesh, spec)),
+        shapes, specs)
+    kv = jax.tree.map(
+        lambda sds, spec: jax.ShapeDtypeStruct(
+            sds.shape, sds.dtype, sharding=NamedSharding(mesh, spec)),
+        jax.eval_shape(lambda: M.init_kv_cache(cfg, 4, 256, jnp.bfloat16)),
+        S.kv_cache_pspecs())
+    ids = jax.ShapeDtypeStruct((4,), jnp.int32,
+                               sharding=NamedSharding(mesh, P(S.DATA_AXIS)))
+    with mesh:
+        jax.jit(
+            lambda p, i, c: M.decode_step(p, cfg, i, c, qt, jnp.bfloat16, rt)
+        ).lower(params, ids, kv).compile()
