@@ -28,9 +28,11 @@ os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
 import jax
 
 jax.config.update("jax_platforms", "cpu")  # never touches the axon device
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# NO persistent-cache config here: topology-AOT entries cannot be hit by
+# plain runs anyway (sdy annotations change the key), and entries written
+# by this process poison the cache for OTHER processes — XLA:CPU AOT
+# loading across mismatched machine-feature flags segfaults
+# (cpu_aot_loader warning observed; a full-suite SIGSEGV traced to it).
 
 import numpy as np
 import jax.numpy as jnp

@@ -43,6 +43,11 @@ def probe_env(tmp_path, monkeypatch):
                                        "bench.py"))
     bench_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench_mod)
+    # bench.py enables the persistent compile cache at import — UNDO it for
+    # the test process: the cache holds TPU-topology-process XLA:CPU
+    # executables with mismatched machine features, and loading one later
+    # in the suite segfaults (cpu_aot_loader "could lead to SIGILL").
+    jax.config.update("jax_compilation_cache_dir", None)
 
     calls_scheme = []
     real_chain = bench_mod.make_probe_chain
