@@ -14,3 +14,20 @@ if "xla_force_host_platform_device_count" not in prev:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    With ~230+ accumulated XLA:CPU compilations in one process, the NEXT
+    large compile segfaults deterministically (observed twice at the same
+    suite position in the spec-sampled engine's chunk jit; the same test
+    passes in any sub-suite).  Dropping the executable caches between
+    modules keeps the accumulation bounded; modules recompile their own
+    programs anyway."""
+    yield
+    jax.clear_caches()
