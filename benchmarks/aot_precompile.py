@@ -28,11 +28,16 @@ os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
 import jax
 
 jax.config.update("jax_platforms", "cpu")  # never touches the axon device
-# NO persistent-cache config here: topology-AOT entries cannot be hit by
-# plain runs anyway (sdy annotations change the key), and entries written
-# by this process poison the cache for OTHER processes — XLA:CPU AOT
-# loading across mismatched machine-feature flags segfaults
-# (cpu_aot_loader warning observed; a full-suite SIGSEGV traced to it).
+# ISOLATED cache dir: topology-AOT entries cannot be hit by plain runs
+# anyway (sdy annotations change the key), and writing them into the main
+# cache poisons other processes (XLA:CPU AOT across mismatched
+# machine-feature flags segfaults — cpu_aot_loader warning / suite
+# SIGSEGV).  A dedicated dir keeps REPEATED precompile runs warm without
+# ever being read by measurement processes.
+os.makedirs("/root/.cache/jax_comp_aot", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_aot")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import numpy as np
 import jax.numpy as jnp

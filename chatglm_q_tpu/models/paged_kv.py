@@ -203,7 +203,7 @@ def prefill_paged(
 
     h = M.rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
     last = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0]
-    logits = M.quant_linear(last, params["lm_head"], quant_type, rt)
+    logits = M.quant_linear(last, params["lm_head"], quant_type, rt, tp_mode="col")
     logits = logits[..., : config.vocab_size]
 
     new_cache = cache.replace(k_pool=kp, v_pool=vp,
@@ -253,10 +253,10 @@ def prefill_chunk_paged(
 
     h = M.rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
     if return_all_logits:
-        logits = M.quant_linear(h, params["lm_head"], quant_type, rt)
+        logits = M.quant_linear(h, params["lm_head"], quant_type, rt, tp_mode="col")
     else:
         last = jnp.take_along_axis(h, (chunk_valid - 1)[:, None, None], axis=1)[:, 0]
-        logits = M.quant_linear(last, params["lm_head"], quant_type, rt)
+        logits = M.quant_linear(last, params["lm_head"], quant_type, rt, tp_mode="col")
     logits = logits[..., : config.vocab_size]
 
     new_cache = cache.replace(k_pool=kp, v_pool=vp, lengths=new_lengths)
@@ -293,7 +293,7 @@ def decode_step_paged(
     )
 
     h = M.rms_norm(h, params["final_ln"]["weight"], config.layernorm_epsilon)
-    logits = M.quant_linear(h[:, 0], params["lm_head"], quant_type, rt)
+    logits = M.quant_linear(h[:, 0], params["lm_head"], quant_type, rt, tp_mode="col")
     logits = logits[..., : config.vocab_size]
 
     # clamp: in-chunk steps past the table capacity keep overwriting the

@@ -187,6 +187,7 @@ def quant_linear(
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y.reshape(*lead, y.shape[-1])
+        # None: config cannot take the TP path — standard dispatch below
 
     if quant_type == "none":
         y = x2 @ params["weight"].astype(x.dtype)

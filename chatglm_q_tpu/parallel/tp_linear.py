@@ -7,9 +7,9 @@ the quantized format's bandwidth advantage on every chip.  This module
 runs the SAME fused kernels per shard under `shard_map`, with the Megatron
 placement the param specs already define (parallel/sharding.py):
 
-* ``col`` (q/kv?no—replicated/w_in/lm_head): weight N-sharded over the
-  model axis, activations replicated over it → output N-sharded.  No
-  communication.
+* ``col`` (q_proj / w_in / lm_head): weight N-sharded over the model
+  axis, activations replicated over it → output N-sharded.  No
+  communication.  (kv_proj is NOT col — it is replicated, mode "rep".)
 * ``row`` (o_proj/w_out): weight K-sharded, activations K-sharded (they
   arrive that way from the preceding col-parallel layer), local fused
   matmul → one ``psum`` over the model axis → replicated output.
@@ -47,6 +47,13 @@ def tp_quant_linear(x2, params, quant_type, rt, mode):
     tp = sizes.get(MODEL_AXIS, 1)
     if tp == 1 or quant_type not in ("int8", "int4g32"):
         return None
+    if quant_type == "int8" and rt.dynamic_int8 and mode == "row":
+        # per-shard dynamic activation quantization over a K-slice computes
+        # DIFFERENT per-row scales than the single-device kernel (full-K
+        # rows) — the psum of partials would be a third numerics mode.
+        # Decline; the caller's standard dispatch fails loudly instead of
+        # silently switching numerics.
+        return None
     M = x2.shape[0]
     n_data = sizes.get(DATA_AXIS, 1)
     data = DATA_AXIS if (DATA_AXIS in sizes and M % n_data == 0) else None
@@ -63,9 +70,22 @@ def tp_quant_linear(x2, params, quant_type, rt, mode):
         out_spec = P(data, MODEL_AXIS)
     elif mode == "row":
         kdiv = 2 * w.shape[0] if quant_type == "int4g32" else w.shape[0]
-        if kdiv % tp or x2.shape[1] % tp or (
-                quant_type == "int4g32" and s.shape[0] % tp):
+        if kdiv % tp or (quant_type == "int4g32" and s.shape[0] % tp):
             return None
+        # storage K may exceed the activation's logical K (kernel-alignment
+        # padding, ops/quant.py int4_storage_k — padding rows sit at the
+        # GLOBAL end of K).  Pad x GLOBALLY before sharding: per-shard
+        # padding would misalign activation columns against weight rows on
+        # every shard but the last (silent corruption).
+        if x2.shape[1] < kdiv:
+            x2 = jnp.pad(x2, ((0, 0), (0, kdiv - x2.shape[1])))
+        elif x2.shape[1] != kdiv:
+            return None
+        # NOTE: the per-shard K (kdiv/tp) may lose the 256-multiple
+        # alignment the global storage had (6B w_out: 13824/4 = 3456) —
+        # the grid kernel's masked-final-block path handles it exactly;
+        # the cost is longer Mosaic compiles for those shards (mitigated
+        # by client-side compile mode / the AOT gate, which compiles them).
         w_spec = P(MODEL_AXIS, None)
         s_spec = P(None) if quant_type == "int8" else P(MODEL_AXIS, None)
         x_spec = P(data, MODEL_AXIS)
@@ -89,7 +109,13 @@ def tp_quant_linear(x2, params, quant_type, rt, mode):
             xp = x_l
             if w_l.shape[0] > xp.shape[1]:
                 xp = jnp.pad(xp, ((0, 0), (0, w_l.shape[0] - xp.shape[1])))
-            y = PM.int8_matmul_pallas(xp, w_l, s_l)
+            y = None
+            if rt.dynamic_int8:
+                # exact here: col/rep shards see the FULL K row, so the
+                # per-row activation scales match the single-device kernel
+                y = PM.int8_dyn_matmul_pallas(xp, w_l, s_l)
+            if y is None:
+                y = PM.int8_matmul_pallas(xp, w_l, s_l)
         if mode == "row":
             y = jax.lax.psum(y, MODEL_AXIS)
         return y

@@ -79,6 +79,12 @@ def make_train_step(
     """Returns train_step(trainable, frozen, opt_state, input_ids, labels)
     → (trainable, opt_state, loss).  Jit/pjit-able."""
     rt = rt or TpuRuntimeConfig()
+    if rt.tp_pallas:
+        raise ValueError(
+            "rt.tp_pallas is a forward/serving-only path (the per-shard "
+            "Pallas kernels have no autodiff rule); train with tp_pallas="
+            "False — the GSPMD route differentiates through the custom-VJP "
+            "linears.")
 
     def loss_fn(trainable, frozen, input_ids, labels, dropout_rng):
         params = merge_params(trainable, frozen)

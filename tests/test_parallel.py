@@ -455,3 +455,34 @@ def test_tp_pallas_decode_matches_single_device(quant_type, mesh_shape):
     with mesh:
         got = run(rt_tp, sharded)
     np.testing.assert_array_equal(got, want)
+
+
+def test_tp_pallas_row_mode_with_storage_padded_k():
+    """Row-parallel with logical K < storage K (int4_storage_k padding):
+    activations must be padded GLOBALLY before sharding — per-shard padding
+    silently misaligns x columns against weight rows (round-3 review)."""
+    from chatglm_q_tpu.ops.linear import quant_linear
+    from chatglm_q_tpu.ops.quant import int4_storage_k, quantize_linear_int4
+
+    K_logical = 1152
+    Ks = int4_storage_k(K_logical)
+    assert Ks != K_logical, "test needs a storage-padded K"
+    N = 128
+    w = jax.random.normal(jax.random.PRNGKey(0), (K_logical, N), jnp.float32) * 0.1
+    p = quantize_linear_int4(w)   # storage-padded packed weights
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, K_logical), jnp.float32)
+
+    want = quant_linear(x, p, "int4g32",
+                        TpuRuntimeConfig(use_pallas=False))
+
+    mesh = S.make_mesh(1, 4)
+    from jax.sharding import NamedSharding
+    sp = {"weight": NamedSharding(mesh, P(S.MODEL_AXIS, None)),
+          "weight_scale": NamedSharding(mesh, P(S.MODEL_AXIS, None))}
+    p_sh = {k: jax.device_put(v, sp[k]) for k, v in p.items()}
+    rt = TpuRuntimeConfig(use_pallas=True, tp_pallas=True, mesh=mesh)
+    with mesh:
+        got = jax.jit(lambda a, b: quant_linear(a, b, "int4g32", rt,
+                                                tp_mode="row"))(x, p_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
