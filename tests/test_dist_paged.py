@@ -328,3 +328,37 @@ def test_dist_paged_msharded_flash_engine_token_exact(params):
         got = _drain(deng)
     assert got == want, (got, want)
     assert deng.pages_in_use == 0
+
+
+def test_dist_paged_tp_pallas_token_exact():
+    """Distributed paged engine with rt.tp_pallas (per-shard fused linears,
+    incl. the paged_kv lm_head sites) vs the single-host dense engine —
+    int4g32, token-exact."""
+    from chatglm_q_tpu.serving.engine import ServingEngine
+    from chatglm_q_tpu.serving.dist_engine import DistributedPagedServingEngine
+
+    qparams = M.init_params(jax.random.PRNGKey(3), CFG, "int4g32", jnp.float32)
+    load_cfg = GLMLoadConfig(model_config=CFG, quant_type="int4g32",
+                             torch_dtype="float32")
+    rng = np.random.RandomState(9)
+    prompts = [rng.randint(3, 900, size=n).tolist() for n in (11, 4, 17)]
+
+    dense = ServingEngine(load_cfg, qparams, None, max_batch=4,
+                          max_seq_len=64, decode_chunk=4,
+                          rt=TpuRuntimeConfig(use_pallas=False))
+    for p in prompts:
+        dense.submit(p, max_new_tokens=5, temperature=0.0)
+    want = _drain(dense)
+
+    mesh = S.make_mesh(2, 4)
+    rt_tp = TpuRuntimeConfig(use_pallas=True, use_flash_attention=False,
+                             tp_pallas=True, mesh=mesh)
+    with mesh:
+        deng = DistributedPagedServingEngine(
+            load_cfg, S.shard_params(qparams, mesh, CFG, "int4g32"), None,
+            mesh=mesh, max_batch=4, max_seq_len=64, decode_chunk=4,
+            num_pages=16, page_size=8, prefill_chunk_size=8, rt=rt_tp)
+        deng.sync_submissions(prompts, max_new_tokens=5, temperature=0.0)
+        got = _drain(deng)
+    assert got == want, (got, want)
+    assert deng.pages_in_use == 0
