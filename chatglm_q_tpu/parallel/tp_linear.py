@@ -50,10 +50,14 @@ def tp_quant_linear(x2, params, quant_type, rt, mode):
     if quant_type == "int8" and rt.dynamic_int8 and mode == "row":
         # per-shard dynamic activation quantization over a K-slice computes
         # DIFFERENT per-row scales than the single-device kernel (full-K
-        # rows) — the psum of partials would be a third numerics mode.
-        # Decline; the caller's standard dispatch fails loudly instead of
-        # silently switching numerics.
-        return None
+        # rows) — the psum of partials would be a third numerics mode, and
+        # silently declining would only defer to a confusing Mosaic
+        # partitioning error on hardware.  Refuse loudly on every platform.
+        raise ValueError(
+            "dynamic_int8 + tp_pallas is unsupported for row-parallel "
+            "linears (per-shard activation scales change the numerics); "
+            "use weight-only int8 under tp_pallas, or dynamic_int8 "
+            "without tp_pallas.")
     M = x2.shape[0]
     n_data = sizes.get(DATA_AXIS, 1)
     data = DATA_AXIS if (DATA_AXIS in sizes and M % n_data == 0) else None

@@ -486,3 +486,38 @@ def test_tp_pallas_row_mode_with_storage_padded_k():
                                                 tp_mode="row"))(x, p_sh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tp_pallas_dynamic_int8_col_exact_row_refuses():
+    """Under tp_pallas, dynamic-int8 col-parallel linears see the full K
+    row per shard, so their activation scales — and therefore tokens —
+    match the single-device dynamic_int8 kernel exactly; row-parallel
+    would change the numerics and must refuse loudly."""
+    from chatglm_q_tpu.ops.linear import quant_linear
+    from chatglm_q_tpu.ops.quant import quantize_linear_int8
+
+    K, N = 256, 512
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.1
+    p = quantize_linear_int8(w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, K), jnp.float32)
+
+    want = quant_linear(x, p, "int8",
+                        TpuRuntimeConfig(use_pallas=True, dynamic_int8=True))
+
+    mesh = S.make_mesh(1, 4)
+    from jax.sharding import NamedSharding
+    p_sh = {"weight": jax.device_put(p["weight"],
+                                     NamedSharding(mesh, P(None, S.MODEL_AXIS))),
+            "weight_scale": jax.device_put(p["weight_scale"],
+                                           NamedSharding(mesh, P(S.MODEL_AXIS)))}
+    rt = TpuRuntimeConfig(use_pallas=True, tp_pallas=True, dynamic_int8=True,
+                          mesh=mesh)
+    with mesh:
+        got = jax.jit(lambda a, b: quant_linear(a, b, "int8", rt,
+                                                tp_mode="col"))(x, p_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="row-parallel"):
+        with mesh:
+            quant_linear(x, p_sh, "int8", rt, tp_mode="row")
