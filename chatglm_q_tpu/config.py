@@ -111,10 +111,11 @@ class TpuRuntimeConfig:
 
     use_pallas: Optional[bool] = None  # None = auto (TPU backend only)
     # Pallas flash/ragged attention in the serving paths (None = follow
-    # use_pallas).  The XLA masked-softmax path remains for parity mode and
-    # for GSPMD-sharded execution (pallas_call has no partitioning rules,
-    # so multi-chip attention uses the XLA path until the kernels are
-    # shard_map-wrapped).
+    # use_pallas).  The XLA masked-softmax path remains for parity mode.
+    # Under a mesh, shard_map-wrapped kernel variants exist for decode
+    # (sharded/tsharded/paged/msharded — ops/pallas_attention.py) and the
+    # linears (tp_pallas below); whole-prompt/chunked prefill attention
+    # under a mesh stays on the GSPMD XLA path (MXU-bound there).
     use_flash_attention: Optional[bool] = None
     # Dynamic activation quantization for int8 layers: per-row int8
     # activations + s8×s8 MXU dots with both scales applied to the int32
