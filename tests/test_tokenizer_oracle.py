@@ -217,3 +217,17 @@ def test_full_pipeline_with_charsmap_matches_hf(nfkc_blob):
         "ﬁﬂ ǅ ŉ",
     ]
     _assert_ids_match(ours, hf, texts)
+
+
+@pytest.mark.skipif(not native_available(), reason="libsptok.so not built")
+def test_full_pipeline_native_matches_hf(nfkc_blob):
+    """The C++ core through the same full chatglm2-featured pipeline
+    (NFKC charsmap + unigram + byte fallback + dummy prefix + whitespace
+    removal) — exact ids vs the Rust oracle."""
+    model = build_unigram_model(_vocab(), charsmap=nfkc_mapping(0xFFFF))
+    ours = SpTokenizer(model, use_native=True)
+    assert ours._native is not None
+    hf = _hf_from_proto(model, charsmap_blob=nfkc_blob)
+    _assert_ids_match(ours, hf, _fuzz_texts(random.Random(45), 200) + [
+        "ＦＵＬＬｗｉｄｔｈ　ｔｅｘｔ…", "①②③ Ⅷ ㎞ ㈱", "ﬁﬂ ǅ ŉ",
+    ])
