@@ -42,7 +42,7 @@ _T0 = time.perf_counter()
 
 from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
 from chatglm_q_tpu.models import chatglm2 as M
-from chatglm_q_tpu.utils.timing import force, slope_time
+from chatglm_q_tpu.utils.timing import force, slope_time, slope_time_auto
 
 HBM_GBPS = 819.0  # v5e
 
@@ -197,7 +197,7 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
             # it must not crash the headline run
             impls[scheme] = _probe_impl_call(x, packs[0], scales[0], scheme)[1]
             chain = make_probe_chain(K, L, scheme)
-            t = slope_time(lambda n: force(chain(x, packs, scales, n)), 4, 16)
+            t = slope_time_auto(lambda n: force(chain(x, packs, scales, n)), 4, 16)
         except Exception as e:  # a scheme that fails to compile loses
             _log(f"scheme probe: {scheme} failed ({type(e).__name__})")
             continue

@@ -34,9 +34,20 @@ import jax.numpy as jnp
 from chatglm_q_tpu.ops import autotune as AT
 from chatglm_q_tpu.ops import pallas_matmul as PM
 from chatglm_q_tpu.ops.quant import int4_storage_k
-from chatglm_q_tpu.utils.timing import force, slope_time
+from chatglm_q_tpu.utils.timing import force, slope_time_auto
 
 L = 8  # distinct weights per chain (cache busting)
+
+# Any per-call time implying more than ~1.5x the v5e's ~819 GB/s HBM
+# bandwidth is a measurement failure (the tunnel's ~30 ms dispatch jitter
+# swamping a too-small slope delta), not a result.
+_IMPOSSIBLE_BW = 1.3e12
+
+
+def _traffic_bytes(kernel, k, n):
+    if kernel == "int4":
+        return k * n // 2 + (k // 32) * n * 2
+    return k * n + 4 * n
 
 # ChatGLM2-6B linear shapes in STORAGE dims (int4_storage_k padding).
 # name: (K, N, traffic_dominant)
@@ -140,7 +151,15 @@ def measure(kernel, m, k, n, impl, cfg):
         w = jax.random.bits(jax.random.PRNGKey(1), (L, k, n), jnp.uint8).astype(jnp.int8)
         s = jnp.full((L, n), 0.01, jnp.float32)
     run = build_chain(kernel, k, n, impl, cfg)
-    return slope_time(lambda r: force(run(x, w, s, r)), 2, 8) / L
+    floor = _traffic_bytes(kernel, k, n) / _IMPOSSIBLE_BW
+    for attempt in range(3):
+        t = slope_time_auto(lambda r: force(run(x, w, s, r)), 2, 8,
+                            repeats=3 + 2 * attempt) / L
+        if t >= floor:
+            return t
+    raise RuntimeError(
+        f"implausible timing {t*1e6:.1f}us < physical floor {floor*1e6:.1f}us"
+        " after 3 attempts (dispatch noise)")
 
 
 def main():

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chatglm_q_tpu.utils.timing import force, slope_time
+from chatglm_q_tpu.utils.timing import force, slope_time_auto
 
 HBM_GBPS = 819.0
 M, K, N, L = 8, 4096, 4096, 8
@@ -219,7 +219,7 @@ def bench_mode(mode):
         x = jax.lax.fori_loop(0, reps, outer, x)
         return x.sum()
 
-    per = slope_time(lambda n: force(run(x, w, s, n)), 2, 8) / L
+    per = slope_time_auto(lambda n: force(run(x, w, s, n)), 2, 8) / L
     gbps = wbytes / per / 1e9
     print(json.dumps({
         "mode": mode, "us_per_matmul": round(per * 1e6, 1),

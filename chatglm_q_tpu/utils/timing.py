@@ -46,3 +46,25 @@ def slope_time(run_n: Callable[[int], object], n_small: int, n_large: int,
     t_small = time_scalar_fn(lambda: run_n(n_small), repeats)
     t_large = time_scalar_fn(lambda: run_n(n_large), repeats)
     return max(t_large - t_small, 1e-9) / (n_large - n_small)
+
+
+def slope_time_auto(run_n: Callable[[int], object], n_small: int = 2,
+                    n_large: int = 8, repeats: int = 3,
+                    target_delta_s: float = 0.12, max_n: int = 2048) -> float:
+    """slope_time that grows n_large until the measured work delta dominates
+    the dispatch noise.
+
+    Through this deployment's tunnel a dispatch costs ~30 ms with several ms
+    of jitter; a slope whose total work delta is a few ms measures NOISE
+    (observed: 0.0 us and >1x-speed-of-light "results").  ``run_n`` must
+    accept any n in [n_small, max_n] without recompiling (dynamic
+    ``fori_loop`` rep count).
+    """
+    while True:
+        t = slope_time(run_n, n_small, n_large, repeats)
+        if t * (n_large - n_small) >= target_delta_s or n_large >= max_n:
+            return t
+        # size the next delta from this estimate; overshoot 1.5x for safety,
+        # and at least double so garbage-small estimates still make progress
+        want = int(1.5 * target_delta_s / max(t, 1e-9))
+        n_large = min(max_n, max(2 * n_large, n_small + want))

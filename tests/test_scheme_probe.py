@@ -69,7 +69,7 @@ def _probe_entry():
 def test_scheme_probe_records_winner(probe_env, monkeypatch):
     bench_mod, calls_scheme = probe_env
     fake = {"broadcast": 3e-4, "grouped": 2e-4, "bt_grouped": 1e-4}
-    monkeypatch.setattr(bench_mod, "slope_time",
+    monkeypatch.setattr(bench_mod, "slope_time_auto",
                         lambda fn, lo, hi: fake[calls_scheme[-1]])
 
     bench_mod.ensure_scheme_probe(CFG, "int4g32")
@@ -99,7 +99,7 @@ def test_scheme_probe_survives_failing_scheme(probe_env, monkeypatch):
             raise RuntimeError("mosaic says no")
         return {"broadcast": 2e-4, "grouped": 3e-4}[calls_scheme[-1]]
 
-    monkeypatch.setattr(bench_mod, "slope_time", flaky_slope)
+    monkeypatch.setattr(bench_mod, "slope_time_auto", flaky_slope)
     bench_mod.ensure_scheme_probe(CFG, "int4g32")
     entry = _probe_entry()
     assert entry is not None and entry["scheme"] == "broadcast", entry
@@ -118,7 +118,7 @@ def test_scheme_probe_survives_compile_crash(probe_env, monkeypatch):
         return real_impl(c, p, s, scheme)
 
     monkeypatch.setattr(bench_mod, "_probe_impl_call", crashing_impl)
-    monkeypatch.setattr(bench_mod, "slope_time",
+    monkeypatch.setattr(bench_mod, "slope_time_auto",
                         lambda fn, lo, hi: 2e-4)
 
     bench_mod.ensure_scheme_probe(CFG, "int4g32")
