@@ -190,7 +190,7 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
     x = jax.random.normal(jax.random.PRNGKey(12), (1, K), jnp.bfloat16)
 
     results, impls = {}, {}
-    for scheme in ("broadcast", "grouped", "bt_grouped"):
+    for scheme in ("broadcast", "selscale", "grouped"):
         try:
             # the eager dispatch probe compiles the kernel — it must be
             # inside the try: a scheme that fails to Mosaic-compile LOSES,

@@ -63,16 +63,19 @@ SHAPES = {
 }
 
 INT4_CANDIDATES = [
-    # (impl, config) — bt_grouped first: the round-1 attribution predicts
-    # it removes BOTH serial dequant costs (convert + scale multiply)
-    ("pipelined", {"bn": 1024, "scheme": "bt_grouped"}),
-    ("grid", {"bk": 2048, "bn": 2048, "scheme": "bt_grouped"}),
+    # (impl, config) — selscale first: exact broadcast numerics with the
+    # scale expansion moved off the VPU onto the MXU (microbench 2026-08-18:
+    # broadcast 42.3 us vs repeat/grouped ~33-34 us at the decode tile; the
+    # 3-D sublane-broadcast multiply is the cost).  bt_grouped is
+    # quarantined: numerically broken under Mosaic on hardware.
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "selscale"}),
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "selscale"}),
+    ("pipelined", {"bn": 1024, "scheme": "selscale"}),
+    ("grid", {"bk": 2048, "bn": 2048, "scheme": "broadcast"}),
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "grouped"}),
     ("pipelined", {"bn": 1024, "scheme": "grouped"}),
     ("pipelined", {"bn": 1024, "scheme": "broadcast"}),
     ("grid", {"bk": 2048, "bn": 2048, "scheme": "grouped"}),
-    ("grid", {"bk": 2048, "bn": 2048, "scheme": "broadcast"}),
-    ("pipelined", {"bn": 512, "scheme": "bt_grouped"}),
-    ("grid", {"bk": 2048, "bn": 1024, "scheme": "bt_grouped"}),
 ]
 
 INT8_CANDIDATES = [

@@ -66,7 +66,7 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
 
     x = x_ref[...]
 
-    if mode in ("int4", "int4_noscale", "int4_repeat"):
+    if mode in ("int4", "int4_noscale", "int4_repeat", "int4_selscale"):
         q = pltpu.bitcast(p_ref[...], jnp.int4)
         w = q.astype(jnp.bfloat16)
         bk, bn = w.shape
@@ -74,8 +74,20 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
             s = s_ref[...].astype(jnp.bfloat16)
             w = (w.reshape(bk // GROUP, GROUP, bn) * s[:, None, :]).reshape(bk, bn)
         elif mode == "int4_repeat":
+            # TIMING-ONLY ablation: pltpu.repeat TILES ([s;s;...]), which is
+            # the wrong row↔group layout — numerics are wrong but the cost
+            # of "cheap expansion + one flat multiply" is representative
             s = s_ref[...].astype(jnp.bfloat16)
             w = w * pltpu.repeat(s, GROUP, axis=0)
+        elif mode == "int4_selscale":
+            # exact production scheme: MXU 0/1 selection-matrix expansion
+            s = s_ref[...].astype(jnp.bfloat16)
+            gb = bk // GROUP
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
+            sel = (rows // GROUP == cols).astype(jnp.bfloat16)
+            sfull = jnp.dot(sel, s, preferred_element_type=jnp.float32)
+            w = w * sfull.astype(jnp.bfloat16)
         acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
     elif mode == "int4_convert_i8":
         q = pltpu.bitcast(p_ref[...], jnp.int4)

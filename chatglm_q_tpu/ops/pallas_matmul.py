@@ -290,6 +290,20 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
                          preferred_element_type=jnp.float32)
             total += pg * s[g][None, :]
         acc_ref[...] += total
+    elif scheme == "selscale" and not _PERF_DEBUG_NOSCALE:
+        # bit-identical to broadcast, but the (gb, bn) → (bk, bn) scale
+        # expansion runs on the MXU: a 0/1 group-membership (bk, gb) matrix
+        # dotted with the scales yields each row's scale EXACTLY (one nonzero
+        # per row, f32 accumulation), replacing Mosaic's slow 3-D sublane
+        # broadcast (measured +15 us/9.4 MB tile) with a ~1 us matmul plus
+        # ONE flat 2-D multiply.
+        s = s.astype(x_ref.dtype)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
+        sel = (rows // 32 == cols).astype(x_ref.dtype)
+        sfull = jnp.dot(sel, s, preferred_element_type=jnp.float32)
+        w = w * sfull.astype(x_ref.dtype)
+        acc_ref[...] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
     else:
         if not _PERF_DEBUG_NOSCALE:
             s = s.astype(x_ref.dtype)                     # (gb, bn)
@@ -352,6 +366,22 @@ def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, scheme=None,
     return out[:M]
 
 
+def _check_bt_grouped_quarantine(scheme: str, interpret: bool) -> None:
+    """bt_grouped is exact in interpret mode and in the f64 numeric audit,
+    but Mosaic compiles it WRONG on real v5e hardware (tpu_smoke 2026-08-18:
+    max err 75.4 vs oracle; the biased-nibble mantissa-OR construction is the
+    suspect).  It also measured SLOWER than broadcast everywhere, so rather
+    than debug it under scarce device time it is quarantined: selecting it
+    on TPU is a loud error, not silent wrong numerics."""
+    if (scheme == "bt_grouped" and not interpret
+            and os.environ.get("CHATGLM_Q_TPU_ALLOW_BT_GROUPED") != "1"):
+        raise ValueError(
+            "int4 scheme 'bt_grouped' is numerically broken under Mosaic on "
+            "TPU hardware (see docs/RESULTS.md); it is also slower than "
+            "'broadcast'/'selscale'. Set CHATGLM_Q_TPU_ALLOW_BT_GROUPED=1 "
+            "only to debug it.")
+
+
 def _pick_int4_bk(K: int, bk_cap: int):
     """K-block size for int4 kernels.
 
@@ -382,6 +412,7 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
     scheme = _resolve_scheme(scheme)
     if interpret is None:
         interpret = not _is_tpu()
+    _check_bt_grouped_quarantine(scheme, interpret)
     M, K = x.shape
     K2, N = packed.shape
     G = scale.shape[0]
@@ -602,7 +633,17 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
             return ()
         q = pltpu.bitcast(pbuf[slot], jnp.int4)            # (_CK, bn)
         w = q.astype(x_ref.dtype)
-        if scheme == "grouped":
+        if scheme == "selscale":
+            # MXU scale expansion — see _int4_fwd_kernel
+            s = sbuf[slot].astype(x_ref.dtype)             # (_CK//32, bn)
+            gb2 = _CK // 32
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 1)
+            sel = (rows // 32 == cols).astype(x_ref.dtype)
+            sfull = jnp.dot(sel, s, preferred_element_type=jnp.float32)
+            w = w * sfull.astype(x_ref.dtype)
+            acc_ref[...] += jnp.dot(xk, w, preferred_element_type=jnp.float32)
+        elif scheme == "grouped":
             s = sbuf[slot].astype(jnp.float32)             # (_CK//32, bn)
             total = jnp.zeros_like(acc_ref)
             for g in range(_CK // 32):
@@ -631,6 +672,7 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
     """
     if interpret is None:
         interpret = not _is_tpu()
+    _check_bt_grouped_quarantine(_resolve_scheme(scheme), interpret)
     bn_cap = _BN_CAP or bn_cap
     M, K = x.shape
     K2, N = packed.shape

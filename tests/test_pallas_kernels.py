@@ -144,7 +144,7 @@ def test_dynamic_int8_matmul_close():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("scheme", ["grouped", "bt_grouped"])
+@pytest.mark.parametrize("scheme", ["grouped", "bt_grouped", "selscale"])
 @pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (8, 576, 128)])
 def test_int4_fwd_alt_schemes(m, k, n, scheme, monkeypatch):
     """The grouped-scale scheme (per-group partial dots) and the bittrick
@@ -212,7 +212,7 @@ def test_int4_pipelined_f16_scales(scheme, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-2, atol=1e-2)
 
 
-@pytest.mark.parametrize("scheme", ["grouped", "bt_grouped"])
+@pytest.mark.parametrize("scheme", ["grouped", "bt_grouped", "selscale"])
 def test_int4_pipelined_alt_schemes(scheme, monkeypatch):
     monkeypatch.setattr(PM, "_INT4_SCHEME", scheme)
     k, n = 4096, 256
@@ -293,7 +293,7 @@ def test_int4_schemes_accuracy_across_scale_magnitudes():
         w64 = q.astype(np.float64) * np.asarray(sb, np.float64).repeat(32, 0)
         y64 = np.asarray(xb, np.float64) @ w64
         ref = np.abs(y64).max()
-        for scheme in ("broadcast", "grouped", "bt_grouped"):
+        for scheme in ("broadcast", "grouped", "bt_grouped", "selscale"):
             y = PM.int4_matmul_pallas(xb, packed, sb, scheme=scheme,
                                       interpret=INTERPRET)
             err = np.abs(np.asarray(y, np.float64) - y64).max() / ref

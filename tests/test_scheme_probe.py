@@ -68,21 +68,21 @@ def _probe_entry():
 
 def test_scheme_probe_records_winner(probe_env, monkeypatch):
     bench_mod, calls_scheme = probe_env
-    fake = {"broadcast": 3e-4, "grouped": 2e-4, "bt_grouped": 1e-4}
+    fake = {"broadcast": 3e-4, "grouped": 2e-4, "selscale": 1e-4}
     monkeypatch.setattr(bench_mod, "slope_time_auto",
                         lambda fn, lo, hi: fake[calls_scheme[-1]])
 
     bench_mod.ensure_scheme_probe(CFG, "int4g32")
 
     entry = _probe_entry()
-    assert entry is not None and entry["scheme"] == "bt_grouped", entry
+    assert entry is not None and entry["scheme"] == "selscale", entry
     assert entry.get("probe") is True
     # every decode shape got a provisional entry
     H = CFG.hidden_size
     for (k, n) in ((H, CFG.q_size), (CFG.q_size, H),
                    (int4_storage_k(CFG.inner_hidden_size), H)):
         e = AT.lookup("int4", PM._block_m(1), int4_storage_k(k), n)
-        assert e is not None and e["scheme"] == "bt_grouped", (k, n, e)
+        assert e is not None and e["scheme"] == "selscale", (k, n, e)
 
     # a SECOND probe is a no-op (real-or-probe entry present)
     calls_before = len(calls_scheme)
@@ -95,7 +95,7 @@ def test_scheme_probe_survives_failing_scheme(probe_env, monkeypatch):
     bench_mod, calls_scheme = probe_env
 
     def flaky_slope(fn, lo, hi):
-        if calls_scheme[-1] == "bt_grouped":
+        if calls_scheme[-1] == "selscale":
             raise RuntimeError("mosaic says no")
         return {"broadcast": 2e-4, "grouped": 3e-4}[calls_scheme[-1]]
 

@@ -58,7 +58,7 @@ B, G, Hg, D = 8, 2, 16, 128
 K, N, T = 4096, 4096, 1024
 
 
-@pytest.mark.parametrize("scheme", ["broadcast", "grouped", "bt_grouped"])
+@pytest.mark.parametrize("scheme", ["broadcast", "grouped", "selscale"])
 @pytest.mark.parametrize("impl", ["grid", "pipelined"])
 def test_int4_fwd_compiles(scheme, impl):
     fn = (PM.int4_matmul_pallas if impl == "grid"
