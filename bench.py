@@ -144,16 +144,26 @@ def _probe_impl_call(c, p, s, scheme):
 
 def make_probe_chain(K: int, L: int, scheme: str):
     """The scheme-probe timing program (module-level so
-    benchmarks/aot_precompile.py can pre-populate its compile-cache entry)."""
-    from functools import partial
+    benchmarks/aot_precompile.py can pre-populate its compile-cache entry).
 
-    @partial(jax.jit, static_argnames="n")
-    def chain(x, packs, scales, n):
-        def body(c, i):
-            out, _ = _probe_impl_call(c, packs[i % L], scales[i % L], scheme)
-            return out[:, :K].astype(c.dtype), out.sum()
-        _, sums = jax.lax.scan(body, x, jnp.arange(n))
-        return sums.sum()
+    ``reps`` is a TRACED fori_loop trip count — one compiled program serves
+    every chain length slope_time_auto asks for (a static count recompiled
+    the whole chain per growth step, minutes each through the remote-compile
+    tunnel).  One rep = one scan over the L distinct weights (cache
+    busting), so per-call time = slope / L."""
+
+    @jax.jit
+    def chain(x, packs, scales, reps):
+        def outer(_, c):
+            def body(c, wl):
+                p, s = wl
+                out, _ = _probe_impl_call(c, p, s, scheme)
+                return out[:, :K].astype(c.dtype), None
+
+            c, _ = jax.lax.scan(body, c, (packs, scales))
+            return c
+
+        return jax.lax.fori_loop(0, reps, outer, x).sum()
 
     return chain
 
@@ -197,7 +207,8 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
             # it must not crash the headline run
             impls[scheme] = _probe_impl_call(x, packs[0], scales[0], scheme)[1]
             chain = make_probe_chain(K, L, scheme)
-            t = slope_time_auto(lambda n: force(chain(x, packs, scales, n)), 4, 16)
+            t = slope_time_auto(
+                lambda n: force(chain(x, packs, scales, n)), 2, 6) / L
         except Exception as e:  # a scheme that fails to compile loses
             _log(f"scheme probe: {scheme} failed ({type(e).__name__})")
             continue

@@ -113,18 +113,18 @@ def main():
     xprobe = jax.ShapeDtypeStruct((1, K), jnp.bfloat16, sharding=SH)
     packs = jax.ShapeDtypeStruct((L, K // 2, N), jnp.uint8, sharding=SH)
     scales = jax.ShapeDtypeStruct((L, K // 32, N), jnp.bfloat16, sharding=SH)
-    for scheme in ("broadcast", "grouped", "bt_grouped"):
+    repsS = jax.ShapeDtypeStruct((), jnp.int32, sharding=SH)
+    for scheme in ("broadcast", "selscale", "grouped"):
         chain = bench.make_probe_chain(K, L, scheme)
-        for n in (4, 16):
-            compile_(f"probe_chain/{scheme}/n{n}",
-                     chain.lower(xprobe, packs, scales, n=n))
+        compile_(f"probe_chain/{scheme}",
+                 chain.lower(xprobe, packs, scales, repsS))
 
     # decode program under every scheme the probe may record (the tuned
     # scheme changes the kernels inside the scan body).  A FRESH jit per
     # scheme: jax.jit caches traces by shapes/statics only, so reusing one
     # jit object would silently re-lower the first scheme's program.
     saved = PM._INT4_SCHEME
-    for scheme in ("broadcast", "grouped", "bt_grouped"):
+    for scheme in ("broadcast", "selscale", "grouped"):
         PM._INT4_SCHEME = scheme
         decode_n = bench.make_decode_n(config, qt, rt)
         try:
@@ -138,9 +138,9 @@ def main():
         import benchmarks.kernel_microbench as KM
 
         for mode in ("bf16", "int8", "int8_bt", "int4_noscale", "int4",
-                     "int4_repeat", "int4_grouped", "int4_batched",
-                     "int4_bittrick", "int4_bt_grouped", "int4_convert_i8",
-                     "int4_dma"):
+                     "int4_repeat", "int4_selscale", "int4_grouped",
+                     "int4_batched", "int4_bittrick", "int4_bt_grouped",
+                     "int4_convert_i8", "int4_dma"):
             x = jax.ShapeDtypeStruct((KM.M, KM.K), jnp.bfloat16, sharding=SH)
             if mode.startswith("int4"):
                 w = jax.ShapeDtypeStruct((KM.L, KM.K // 2, KM.N), jnp.uint8,
@@ -228,7 +228,7 @@ def precompile_full_bench(SH, compile_):
 
     saved4, saved8 = PM._INT4_SCHEME, PM._INT8_SCHEME
     try:
-        for scheme in ("broadcast", "grouped", "bt_grouped"):
+        for scheme in ("broadcast", "selscale", "grouped"):
             PM._INT4_SCHEME = scheme
             for batch in (1, 8, 16, 32):
                 p, f, c = structs("int4g32", batch)

@@ -38,16 +38,20 @@ from chatglm_q_tpu.utils.timing import force, slope_time_auto
 
 L = 8  # distinct weights per chain (cache busting)
 
-# Any per-call time implying more than ~1.5x the v5e's ~819 GB/s HBM
-# bandwidth is a measurement failure (the tunnel's ~30 ms dispatch jitter
-# swamping a too-small slope delta), not a result.
-_IMPOSSIBLE_BW = 1.3e12
+HBM_GBPS = 819.0  # v5e
+
+# Any per-call time implying more than ~1.5x the HBM bandwidth is a
+# measurement failure (the tunnel's ~30 ms dispatch jitter swamping a
+# too-small slope delta), not a result.
+_IMPOSSIBLE_BW = 1.5 * HBM_GBPS * 1e9
 
 
 def _traffic_bytes(kernel, k, n):
     if kernel == "int4":
-        return k * n // 2 + (k // 32) * n * 2
-    return k * n + 4 * n
+        sdt = chain_arg_dtypes("int4", 8, k, n)[2][1]
+        return k * n // 2 + (k // 32) * n * jnp.dtype(sdt).itemsize
+    sdt = chain_arg_dtypes("int8", 8, k, n)[2][1]
+    return k * n + jnp.dtype(sdt).itemsize * n
 
 # ChatGLM2-6B linear shapes in STORAGE dims (int4_storage_k padding).
 # name: (K, N, traffic_dominant)
@@ -66,16 +70,25 @@ INT4_CANDIDATES = [
     # (impl, config) — selscale first: exact broadcast numerics with the
     # scale expansion moved off the VPU onto the MXU (microbench 2026-08-18:
     # broadcast 42.3 us vs repeat/grouped ~33-34 us at the decode tile; the
-    # 3-D sublane-broadcast multiply is the cost).  bt_grouped is
-    # quarantined: numerically broken under Mosaic on hardware.
-    ("grid", {"bk": 2048, "bn": 2048, "scheme": "selscale"}),
-    ("grid", {"bk": 2048, "bn": 1024, "scheme": "selscale"}),
+    # 3-D sublane-broadcast multiply is the cost).  selscale's f32
+    # scale-expansion intermediate caps bk at 1024 (scoped-VMEM, see
+    # pallas_matmul).  bt_grouped (no int→float convert at all) joins the
+    # sweep only under CHATGLM_Q_TPU_ALLOW_BT_GROUPED=1 — after a hardware
+    # tpu_smoke run validates the round-4 nibble-bias fix AND the code
+    # quarantine is lifted.
+    ("grid", {"bk": 1024, "bn": 2048, "scheme": "selscale"}),
+    ("grid", {"bk": 1024, "bn": 1024, "scheme": "selscale"}),
     ("pipelined", {"bn": 1024, "scheme": "selscale"}),
     ("grid", {"bk": 2048, "bn": 2048, "scheme": "broadcast"}),
     ("grid", {"bk": 2048, "bn": 1024, "scheme": "grouped"}),
     ("pipelined", {"bn": 1024, "scheme": "grouped"}),
     ("pipelined", {"bn": 1024, "scheme": "broadcast"}),
     ("grid", {"bk": 2048, "bn": 2048, "scheme": "grouped"}),
+]
+
+_BT_GROUPED_CANDIDATES = [
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "bt_grouped"}),
+    ("pipelined", {"bn": 1024, "scheme": "bt_grouped"}),
 ]
 
 INT8_CANDIDATES = [
@@ -93,23 +106,7 @@ def build_chain(kernel, k, n, impl, cfg):
     """The candidate's chained timing program (module-level so
     benchmarks/aot_precompile.py can pre-populate its compile-cache
     entry).  Returns a fresh jit ``run(x, w, s, reps)``."""
-    if kernel == "int4":
-        if impl == "pipelined":
-            def call(x, wi, si):
-                out = PM.int4_matmul_pallas_pipelined(
-                    x, wi, si, bn_cap=cfg["bn"], scheme=cfg["scheme"])
-                assert out is not None, "pipelined unsupported for this shape"
-                return out
-        else:
-            def call(x, wi, si):
-                return PM.int4_matmul_pallas(
-                    x, wi, si, bk_cap=cfg["bk"], bn_cap=cfg["bn"],
-                    scheme=cfg["scheme"])
-    else:
-        def call(x, wi, si):
-            return PM.int8_matmul_pallas(x, wi, si, bk_cap=cfg["bk"],
-                                         bn_cap=cfg["bn"],
-                                         scheme=cfg.get("scheme"))
+    call = _single_call(kernel, impl, cfg)
 
     # outputs (m, n) feed the next chain link's (m, k) input; pad/trim n→k
     if n < k:
@@ -145,6 +142,54 @@ def chain_arg_dtypes(kernel, m, k, n):
             ((L, n), jnp.float32))
 
 
+def _single_call(kernel, impl, cfg):
+    """One production-kernel application with this candidate's config."""
+    if kernel == "int4":
+        if impl == "pipelined":
+            def call(x, wi, si):
+                out = PM.int4_matmul_pallas_pipelined(
+                    x, wi, si, bn_cap=cfg["bn"], scheme=cfg["scheme"])
+                assert out is not None
+                return out
+        else:
+            def call(x, wi, si):
+                return PM.int4_matmul_pallas(
+                    x, wi, si, bk_cap=cfg["bk"], bn_cap=cfg["bn"],
+                    scheme=cfg["scheme"])
+    else:
+        def call(x, wi, si):
+            return PM.int8_matmul_pallas(x, wi, si, bk_cap=cfg["bk"],
+                                         bn_cap=cfg["bn"],
+                                         scheme=cfg.get("scheme"))
+    return call
+
+
+def verify(kernel, m, k, n, impl, cfg, rel_tol=2e-2):
+    """On-hardware exactness row: candidate kernel vs the jnp oracle at this
+    exact shape/config.  The sweep REFUSES to record a winner whose
+    exactness row did not pass — round 3's bt_grouped showed a kernel can
+    be exact in interpret mode yet wrong on silicon (VERDICT r3 #3)."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (m, k), jnp.bfloat16)
+    if kernel == "int4":
+        from chatglm_q_tpu.ops.quant import unpack_int4_tpu
+
+        w = jax.random.bits(jax.random.PRNGKey(6), (k // 2, n), jnp.uint8)
+        s = (jnp.abs(jax.random.normal(jax.random.PRNGKey(7), (k // 32, n)))
+             * 0.02 + 1e-3).astype(jnp.bfloat16)
+        want = x.astype(jnp.float32) @ unpack_int4_tpu(w, s).astype(jnp.float32)
+    else:
+        w = jax.random.randint(jax.random.PRNGKey(6), (k, n), -127, 128,
+                               jnp.int8)
+        s = jnp.abs(jax.random.normal(jax.random.PRNGKey(7), (n,))) * 0.01
+        want = x.astype(jnp.float32) @ (w.astype(jnp.float32) * s)
+    got = jax.jit(_single_call(kernel, impl, cfg))(x, w, s)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+    rel = err / (float(jnp.max(jnp.abs(want))) + 1e-9)
+    if rel > rel_tol:
+        raise RuntimeError(f"EXACTNESS FAIL rel={rel:.3g} (max err {err:.3g})")
+    return rel
+
+
 def measure(kernel, m, k, n, impl, cfg):
     x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
     if kernel == "int4":
@@ -176,23 +221,40 @@ def main():
                     help="max measurements this run (0 = unlimited)")
     args = ap.parse_args()
 
-    cands = INT4_CANDIDATES if args.kernel == "int4" else INT8_CANDIDATES
+    import os
+
+    cands = list(INT4_CANDIDATES if args.kernel == "int4" else INT8_CANDIDATES)
+    if (args.kernel == "int4"
+            and os.environ.get("CHATGLM_Q_TPU_ALLOW_BT_GROUPED") == "1"):
+        cands = _BT_GROUPED_CANDIDATES + cands
     done = 0
     for name, (k, n, big) in SHAPES.items():
-        if not (big or args.all):
+        # m=8 (decode) always sweeps every shape — the batch-1 headline runs
+        # all five, and round 3 left the non-"big" decode shapes as untimed
+        # probe placeholders (VERDICT r3 weak #1)
+        if not (big or args.all or args.m == [8]):
             continue
         for m in args.m:
             bm = PM._block_m(m)
             entry = AT.lookup(args.kernel, bm, k, n)
             # bench.py's one-shot scheme probe records provisional
-            # ("probe": true) entries — a real sweep replaces them
-            if entry and not entry.get("probe") and not args.force:
+            # ("probe": true) entries — a real sweep replaces them; entries
+            # without an exactness row (pre-round-4 sweeps) are re-swept
+            if (entry and not entry.get("probe") and entry.get("exact")
+                    and not args.force):
                 print(f"skip {name} m{bm} (recorded)", flush=True)
                 continue
             best = None
             for impl, cfg in cands:
                 if args.budget and done >= args.budget:
                     break
+                try:
+                    rel = verify(args.kernel, m, k, n, impl, cfg)
+                except Exception as e:
+                    print(json.dumps({"shape": name, "impl": impl, **cfg,
+                                      "verify_error": repr(e)[:200]}),
+                          flush=True)
+                    continue
                 try:
                     t = measure(args.kernel, m, k, n, impl, cfg)
                 except Exception as e:
@@ -201,12 +263,14 @@ def main():
                     continue
                 done += 1
                 print(json.dumps({"shape": name, "m": bm, "impl": impl, **cfg,
-                                  "us": round(t * 1e6, 1)}), flush=True)
+                                  "us": round(t * 1e6, 1),
+                                  "verify_rel": round(rel, 5)}), flush=True)
                 if best is None or t < best[0]:
                     best = (t, impl, cfg)
             if best is not None:
                 t, impl, cfg = best
-                AT.record(args.kernel, bm, k, n, {"impl": impl, **cfg},
+                AT.record(args.kernel, bm, k, n,
+                          {"impl": impl, **cfg, "exact": True},
                           us_per_call=t * 1e6)
                 print(f"RECORDED {args.kernel} {name} m{bm}: {impl} {cfg} "
                       f"{t*1e6:.1f}us -> {AT.table_path()}", flush=True)

@@ -37,6 +37,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from chatglm_q_tpu.utils.timing import force, slope_time_auto
+# production helpers — the microbench MUST time the same numerics the
+# kernels ship (round 3 drifted: a private _bittrick_w copy here carried
+# the same nibble-bias bug pallas_matmul fixed in round 4)
+from chatglm_q_tpu.ops.pallas_matmul import (
+    _bittrick_unpack, _group_sel, _selscale_expand)
 
 HBM_GBPS = 819.0
 M, K, N, L = 8, 4096, 4096, 8
@@ -45,16 +50,9 @@ GROUP = 32
 
 
 def _bittrick_w(p_u8):
-    """(bk/2, bn) biased-nibble bytes → (bk, bn) bf16 with value 256 + 2u.
-
-    The nibble is OR-ed into the low mantissa bits of bf16 256.0 (0x4380):
-    256·(1 + u/128) = 256 + 2u.  True weight q = u − 8, so
-    s·q = (s/2)·(256+2u) − 272·(s/2): fold s/2 into the stored scale and the
-    −272 term into a rank-1 correction.
-    """
-    q = pltpu.bitcast(p_u8, jnp.int4)              # nibbles, signed view
-    u16 = q.astype(jnp.int16) & 0xF                # biased nibble in 16-bit lanes
-    return pltpu.bitcast(u16 | 0x4380, jnp.bfloat16)
+    """(bk/2, bn) biased-nibble bytes → (bk, bn) bf16 of value 256 + 2u,
+    u = q + 8 (pallas_matmul._bittrick_unpack, hardware branch)."""
+    return _bittrick_unpack(p_u8, False)
 
 
 def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
@@ -81,13 +79,7 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
             w = w * pltpu.repeat(s, GROUP, axis=0)
         elif mode == "int4_selscale":
             # exact production scheme: MXU 0/1 selection-matrix expansion
-            s = s_ref[...].astype(jnp.bfloat16)
-            gb = bk // GROUP
-            rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
-            sel = (rows // GROUP == cols).astype(jnp.bfloat16)
-            sfull = jnp.dot(sel, s, preferred_element_type=jnp.float32)
-            w = w * sfull.astype(jnp.bfloat16)
+            w = w * _selscale_expand(s_ref[...], bk, jnp.bfloat16)
         acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
     elif mode == "int4_convert_i8":
         q = pltpu.bitcast(p_ref[...], jnp.int4)
@@ -132,13 +124,10 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
                          w[GROUP * g:GROUP * (g + 1)],
                          preferred_element_type=jnp.float32)
             total += pg * s[g][None, :]
-        # rank-1 offset: y -= 272 · (Σ_k∈g x) @ s — per-group sums via a
-        # 0/1 selection-matrix dot (the (M, gb, 32) reshape splits the
-        # lane dim, which Mosaic cannot lay out)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
-        sel = (rows // GROUP == cols).astype(w.dtype)
-        xsum = jnp.dot(x.astype(w.dtype), sel, preferred_element_type=jnp.float32)
+        # rank-1 offset: y -= 272 · (Σ_k∈g x) @ s — per-group sums via the
+        # 0/1 selection-matrix dot (_group_sel)
+        xsum = jnp.dot(x.astype(w.dtype), _group_sel(bk, w.dtype),
+                       preferred_element_type=jnp.float32)
         total -= 272.0 * jnp.dot(xsum, s, preferred_element_type=jnp.float32)
         acc_ref[...] += total
     elif mode == "int8":
@@ -171,9 +160,9 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-_INT4_MODES = ("int4", "int4_noscale", "int4_repeat", "int4_grouped",
-               "int4_batched", "int4_bittrick", "int4_bt_grouped",
-               "int4_convert_i8", "int4_dma")
+_INT4_MODES = ("int4", "int4_noscale", "int4_repeat", "int4_selscale",
+               "int4_grouped", "int4_batched", "int4_bittrick",
+               "int4_bt_grouped", "int4_convert_i8", "int4_dma")
 
 
 def matmul(mode, x, p, s):
@@ -242,8 +231,8 @@ def bench_mode(mode):
 
 if __name__ == "__main__":
     modes = sys.argv[1:] or ("bf16", "int8", "int8_bt", "int4_noscale", "int4",
-                             "int4_repeat", "int4_grouped", "int4_batched",
-                             "int4_bittrick", "int4_bt_grouped",
+                             "int4_repeat", "int4_selscale", "int4_grouped",
+                             "int4_batched", "int4_bittrick", "int4_bt_grouped",
                              "int4_convert_i8", "int4_dma")
     for mode in modes:
         try:

@@ -26,7 +26,7 @@ K, N = 1024, 1024
 x = jax.random.normal(jax.random.PRNGKey(0), (8, K), jnp.bfloat16)
 p = jax.random.bits(jax.random.PRNGKey(1), (K // 2, N), jnp.uint8)
 s = jnp.full((K // 32, N), 0.01, jnp.bfloat16)
-got = jax.jit(lambda a, b, c: PM.int4_matmul_pallas(a, b, c, scheme="bt_grouped"))(x, p, s)
+got = jax.jit(lambda a, b, c: PM.int4_matmul_pallas(a, b, c, scheme="selscale"))(x, p, s)
 want = x.astype(jnp.float32) @ unpack_int4_tpu(p, s)
 err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
 rel = err / (float(jnp.max(jnp.abs(want))) + 1e-9)

@@ -144,10 +144,41 @@ def _bittrick_unpack(p_tile: jax.Array, interpret: bool) -> jax.Array:
     """
     if not interpret:
         q = pltpu.bitcast(p_tile, jnp.int4)
-        u16 = q.astype(jnp.int16) & 0xF
+        # q & 0xF is the raw two's-complement nibble = q mod 16, NOT the
+        # biased q + 8 the construction needs — they differ by a flip of
+        # the top bit for EVERY value (q mod 16 = (q + 8) ^ 8).  Round 3
+        # shipped the unbiased form and saw max-err 75.4 on hardware
+        # ("Mosaic miscompile", actually this bias bug — interpret mode
+        # below always computed q + 8 and was exact).  XOR 0x8 biases it.
+        u16 = (q.astype(jnp.int16) & 0xF) ^ 0x8
         return pltpu.bitcast(u16 | 0x4380, jnp.bfloat16)
     qf = _unpack_tile_int4(p_tile, True).astype(jnp.float32)
     return (256.0 + 2.0 * (qf + 8.0)).astype(jnp.bfloat16)
+
+
+_GROUP_K = 32  # int4g32 quantization group size along K
+
+
+def _group_sel(bk: int, dtype) -> jax.Array:
+    """(bk, bk/32) 0/1 group-membership matrix: sel[r, g] = 1 iff row r is
+    in scale group g.  Used as an MXU operand because the direct
+    ``(bm, bk) → (bm, gb, 32)`` reshape splits the lane dim, which Mosaic
+    cannot lay out ("infer-vector-layout: unsupported shape cast",
+    verified by v5e AOT compile)."""
+    gb = bk // _GROUP_K
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
+    return (rows // _GROUP_K == cols).astype(dtype)
+
+
+def _selscale_expand(s: jax.Array, bk: int, dtype) -> jax.Array:
+    """(gb, bn) group scales → (bk, bn) per-row scales via ONE 0/1
+    group-membership MXU dot — exact (one nonzero per row, f32
+    accumulation), replacing Mosaic's slow 3-D sublane broadcast
+    (measured +15 us / 9.4 MB tile) with a ~1 us matmul."""
+    sel = _group_sel(bk, dtype)
+    sfull = jnp.dot(sel, s.astype(dtype), preferred_element_type=jnp.float32)
+    return sfull.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -271,15 +302,9 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
                          preferred_element_type=jnp.float32)
             total += pg * s2[g][None, :]
         # rank-1 offset: s·q = (s/2)(256+2u) − 136·s = s2·w_bt − 272·s2.
-        # Per-group x sums via a 0/1 selection-matrix MXU dot: reshaping
-        # (bm, bk) → (bm, gb, 32) splits the LANE dim, which Mosaic cannot
-        # lay out ("infer-vector-layout: unsupported shape cast", verified
-        # by v5e AOT compile) — the (bk, gb) group-membership matmul is
-        # layout-trivial and exact (0/1 factors, f32 accumulation).
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
-        sel = (rows // 32 == cols).astype(w.dtype)
-        xsum = jnp.dot(xb, sel, preferred_element_type=jnp.float32)  # (bm, gb)
+        # Per-group x sums via the 0/1 selection-matrix MXU dot (_group_sel).
+        xsum = jnp.dot(xb, _group_sel(bk, w.dtype),
+                       preferred_element_type=jnp.float32)  # (bm, gb)
         total -= 272.0 * jnp.dot(xsum, s2, preferred_element_type=jnp.float32)
         acc_ref[...] += total
     elif scheme == "grouped" and not _PERF_DEBUG_NOSCALE:
@@ -292,17 +317,9 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
         acc_ref[...] += total
     elif scheme == "selscale" and not _PERF_DEBUG_NOSCALE:
         # bit-identical to broadcast, but the (gb, bn) → (bk, bn) scale
-        # expansion runs on the MXU: a 0/1 group-membership (bk, gb) matrix
-        # dotted with the scales yields each row's scale EXACTLY (one nonzero
-        # per row, f32 accumulation), replacing Mosaic's slow 3-D sublane
-        # broadcast (measured +15 us/9.4 MB tile) with a ~1 us matmul plus
-        # ONE flat 2-D multiply.
-        s = s.astype(x_ref.dtype)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bk, gb), 1)
-        sel = (rows // 32 == cols).astype(x_ref.dtype)
-        sfull = jnp.dot(sel, s, preferred_element_type=jnp.float32)
-        w = w * sfull.astype(x_ref.dtype)
+        # expansion runs on the MXU (_selscale_expand) followed by ONE flat
+        # 2-D multiply.
+        w = w * _selscale_expand(s, bk, x_ref.dtype)
         acc_ref[...] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
     else:
         if not _PERF_DEBUG_NOSCALE:
@@ -367,12 +384,13 @@ def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, scheme=None,
 
 
 def _check_bt_grouped_quarantine(scheme: str, interpret: bool) -> None:
-    """bt_grouped is exact in interpret mode and in the f64 numeric audit,
-    but Mosaic compiles it WRONG on real v5e hardware (tpu_smoke 2026-08-18:
-    max err 75.4 vs oracle; the biased-nibble mantissa-OR construction is the
-    suspect).  It also measured SLOWER than broadcast everywhere, so rather
-    than debug it under scarce device time it is quarantined: selecting it
-    on TPU is a loud error, not silent wrong numerics."""
+    """bt_grouped was exact in interpret mode / the f64 audit but wrong on
+    real v5e (tpu_smoke 2026-08-18: max err 75.4 vs oracle).  Round 4
+    root-caused it to a BIAS BUG in _bittrick_unpack's hardware branch (it
+    built 256 + 2·(q mod 16) instead of 256 + 2·(q+8) — see the XOR 0x8
+    fix there), not a Mosaic miscompile.  The quarantine stays until a
+    hardware tpu_smoke run confirms the fixed kernel exact; enable with
+    CHATGLM_Q_TPU_ALLOW_BT_GROUPED=1 for that validation run."""
     if (scheme == "bt_grouped" and not interpret
             and os.environ.get("CHATGLM_Q_TPU_ALLOW_BT_GROUPED") != "1"):
         raise ValueError(
@@ -410,6 +428,12 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
     bk_cap = _BK_CAP or bk_cap
     bn_cap = _BN_CAP or bn_cap
     scheme = _resolve_scheme(scheme)
+    if scheme == "selscale":
+        # the f32 (bk, bn) expanded-scale intermediate costs 4 B/elem of
+        # scoped VMEM — bk=2048 × bn=2048 overflows the 16 MB stack limit
+        # (21.41M, v5e AOT verified); halve the K block unconditionally
+        # (env/sweep overrides included: a larger bk cannot compile)
+        bk_cap = min(bk_cap, 1024)
     if interpret is None:
         interpret = not _is_tpu()
     _check_bt_grouped_quarantine(scheme, interpret)
@@ -619,14 +643,10 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
                              w[32 * g:32 * (g + 1)],
                              preferred_element_type=jnp.float32)
                 total += pg * s2[g][None, :]
-            # selection-matrix per-group x sums (the (bm, _CK, 32) reshape
-            # splits the lane dim — unsupported by Mosaic; see
-            # _int4_fwd_kernel)
-            gb2 = _CK // 32
-            rows = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 1)
-            sel = (rows // 32 == cols).astype(w.dtype)
-            xsum = jnp.dot(xb, sel, preferred_element_type=jnp.float32)
+            # selection-matrix per-group x sums (_group_sel; the direct
+            # (bm, _CK, 32) reshape splits the lane dim — unsupported)
+            xsum = jnp.dot(xb, _group_sel(_CK, w.dtype),
+                           preferred_element_type=jnp.float32)
             total -= 272.0 * jnp.dot(xsum, s2,
                                      preferred_element_type=jnp.float32)
             acc_ref[...] += total
@@ -635,13 +655,7 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
         w = q.astype(x_ref.dtype)
         if scheme == "selscale":
             # MXU scale expansion — see _int4_fwd_kernel
-            s = sbuf[slot].astype(x_ref.dtype)             # (_CK//32, bn)
-            gb2 = _CK // 32
-            rows = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (_CK, gb2), 1)
-            sel = (rows // 32 == cols).astype(x_ref.dtype)
-            sfull = jnp.dot(sel, s, preferred_element_type=jnp.float32)
-            w = w * sfull.astype(x_ref.dtype)
+            w = w * _selscale_expand(sbuf[slot], _CK, x_ref.dtype)
             acc_ref[...] += jnp.dot(xk, w, preferred_element_type=jnp.float32)
         elif scheme == "grouped":
             s = sbuf[slot].astype(jnp.float32)             # (_CK//32, bn)
@@ -722,6 +736,17 @@ def int4_matmul_auto(x, packed, scale, *, interpret=None):
 
     tuned = AT.lookup("int4", _block_m(x.shape[0]), 2 * packed.shape[0],
                       packed.shape[1]) or {}
+    if (tuned.get("scheme") == "bt_grouped"
+            and os.environ.get("CHATGLM_Q_TPU_ALLOW_BT_GROUPED") != "1"):
+        # stale table from a pre-quarantine sweep: the quarantine check
+        # would raise at trace time in production.  Downgrade to the
+        # defaults (scheme/blocks were tuned for bt_grouped, so drop all)
+        # instead of erroring; a fresh sweep re-records the shape.
+        import warnings
+
+        warnings.warn("autotune table selects quarantined 'bt_grouped'; "
+                      "ignoring the stale entry (re-run the sweep)")
+        tuned = {}
     impl = "grid" if _NO_PIPELINE else tuned.get("impl")
     if impl != "grid":
         out = int4_matmul_pallas_pipelined(

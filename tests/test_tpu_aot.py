@@ -58,14 +58,26 @@ B, G, Hg, D = 8, 2, 16, 128
 K, N, T = 4096, 4096, 1024
 
 
-@pytest.mark.parametrize("scheme", ["broadcast", "grouped", "selscale"])
+@pytest.mark.parametrize("scheme", ["broadcast", "grouped", "selscale",
+                                    "bt_grouped"])
 @pytest.mark.parametrize("impl", ["grid", "pipelined"])
-def test_int4_fwd_compiles(scheme, impl):
+def test_int4_fwd_compiles(scheme, impl, monkeypatch):
+    if scheme == "bt_grouped":  # quarantined pending hardware revalidation
+        monkeypatch.setenv("CHATGLM_Q_TPU_ALLOW_BT_GROUPED", "1")
     fn = (PM.int4_matmul_pallas if impl == "grid"
           else PM.int4_matmul_pallas_pipelined)
     aot(lambda x, p, s: fn(x, p, s, scheme=scheme, interpret=False),
         ((8, K), jnp.bfloat16), ((K // 2, N), jnp.uint8),
         ((K // 32, N), jnp.bfloat16))
+
+
+def test_int4_fwd_compiles_lmhead_selscale():
+    """The lm_head decode shape (N=65536) under selscale — the round-3 OOM
+    shapes were exactly the big-N decode rows the sweep selects first."""
+    aot(lambda x, p, s: PM.int4_matmul_pallas(x, p, s, scheme="selscale",
+                                              interpret=False),
+        ((8, K), jnp.bfloat16), ((K // 2, 65536), jnp.uint8),
+        ((K // 32, 65536), jnp.bfloat16))
 
 
 @pytest.mark.parametrize("scheme", ["convert", "bt"])
