@@ -200,7 +200,7 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
     x = jax.random.normal(jax.random.PRNGKey(12), (1, K), jnp.bfloat16)
 
     results, impls = {}, {}
-    for scheme in ("broadcast", "selscale", "grouped"):
+    for scheme in ("broadcast", "selscale", "grouped", "bt_grouped"):
         try:
             # the eager dispatch probe compiles the kernel — it must be
             # inside the try: a scheme that fails to Mosaic-compile LOSES,
@@ -216,14 +216,34 @@ def ensure_scheme_probe(config: ChatGLM2Config, quant_type: str):
         _log(f"scheme probe: {scheme}/{impls[scheme]} {t*1e6:.0f} us/call")
     if not results:
         return
-    best = min(results, key=results.get)
+    # winners are verified vs the jnp oracle at the probe shape before any
+    # recording (the autotune-table guard drops unverified bt_grouped
+    # entries, and no probe should ever record a wrong-numerics winner)
+    from chatglm_q_tpu.ops.quant import unpack_int4_tpu
+
+    want = x.astype(jnp.float32) @ unpack_int4_tpu(
+        packs[0], scales[0]).astype(jnp.float32)
+    wmax = float(jnp.max(jnp.abs(want))) + 1e-9
+    best = None
+    for scheme in sorted(results, key=results.get):
+        got = _probe_impl_call(x, packs[0], scales[0], scheme)[0]
+        rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want))) / wmax
+        if rel < 2e-2:
+            best = scheme
+            break
+        _log(f"scheme probe: {scheme} FAILED exactness (rel {rel:.3g})")
+    if best is None:
+        return
     _log(f"scheme probe winner: {best} ({impls[best]})")
     qs, kv2 = config.q_size, 2 * config.kv_size
     Vp = -(-config.vocab_size // LMHEAD_N_MULTIPLE) * LMHEAD_N_MULTIPLE
     for (k, n) in ((H, qs), (H, int4_storage_k(kv2)), (qs, H), (H, Ip),
                    (Ip, H), (H, Vp)):
+        # "exact" verified at the probe shape; the per-shape sweep
+        # (autotune_sweep.py) re-verifies at every shape it records
         AT.record("int4", bm, int4_storage_k(k), n,
-                  {"scheme": best, "impl": impls[best], "probe": True},
+                  {"scheme": best, "impl": impls[best], "probe": True,
+                   "exact": True},
                   us_per_call=(results[best] * 1e6
                                if (int4_storage_k(k), n) == (K, N) else None))
 

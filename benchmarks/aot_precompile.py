@@ -114,7 +114,7 @@ def main():
     packs = jax.ShapeDtypeStruct((L, K // 2, N), jnp.uint8, sharding=SH)
     scales = jax.ShapeDtypeStruct((L, K // 32, N), jnp.bfloat16, sharding=SH)
     repsS = jax.ShapeDtypeStruct((), jnp.int32, sharding=SH)
-    for scheme in ("broadcast", "selscale", "grouped"):
+    for scheme in ("broadcast", "selscale", "grouped", "bt_grouped"):
         chain = bench.make_probe_chain(K, L, scheme)
         compile_(f"probe_chain/{scheme}",
                  chain.lower(xprobe, packs, scales, repsS))
@@ -124,7 +124,7 @@ def main():
     # scheme: jax.jit caches traces by shapes/statics only, so reusing one
     # jit object would silently re-lower the first scheme's program.
     saved = PM._INT4_SCHEME
-    for scheme in ("broadcast", "selscale", "grouped"):
+    for scheme in ("broadcast", "selscale", "grouped", "bt_grouped"):
         PM._INT4_SCHEME = scheme
         decode_n = bench.make_decode_n(config, qt, rt)
         try:

@@ -76,22 +76,22 @@ INT4_CANDIDATES = [
     # sweep only under CHATGLM_Q_TPU_ALLOW_BT_GROUPED=1 — after a hardware
     # tpu_smoke run validates the round-4 nibble-bias fix AND the code
     # quarantine is lifted.
-    # ordered by expected value (microbench r3: grouped compute 15.6 us vs
-    # DMA 17.6 us at the decode tile → the pipelined overlap should land
-    # near the DMA floor), so a --budget cutoff still times the best bets
+    # ordered by expected value (microbench r3: bt_grouped compute 13.9 us,
+    # grouped 15.6 us vs DMA 17.6 us at the decode tile → the pipelined
+    # overlap should land near the DMA floor), so a --budget cutoff still
+    # times the best bets.  bt_grouped is hardware-exact since the round-4
+    # nibble-bias + correction-precision fixes; the exactness gate below
+    # guards every recording anyway.
+    ("pipelined", {"bn": 1024, "scheme": "bt_grouped"}),
     ("pipelined", {"bn": 1024, "scheme": "grouped"}),
     ("pipelined", {"bn": 1024, "scheme": "selscale"}),
+    ("grid", {"bk": 2048, "bn": 1024, "scheme": "bt_grouped"}),
     ("grid", {"bk": 2048, "bn": 1024, "scheme": "grouped"}),
     ("grid", {"bk": 1024, "bn": 1024, "scheme": "selscale"}),
     ("pipelined", {"bn": 1024, "scheme": "broadcast"}),
     ("grid", {"bk": 2048, "bn": 2048, "scheme": "broadcast"}),
     ("grid", {"bk": 2048, "bn": 2048, "scheme": "grouped"}),
     ("grid", {"bk": 1024, "bn": 2048, "scheme": "selscale"}),
-]
-
-_BT_GROUPED_CANDIDATES = [
-    ("grid", {"bk": 2048, "bn": 1024, "scheme": "bt_grouped"}),
-    ("pipelined", {"bn": 1024, "scheme": "bt_grouped"}),
 ]
 
 INT8_CANDIDATES = [
@@ -224,12 +224,7 @@ def main():
                     help="max measurements this run (0 = unlimited)")
     args = ap.parse_args()
 
-    import os
-
     cands = list(INT4_CANDIDATES if args.kernel == "int4" else INT8_CANDIDATES)
-    if (args.kernel == "int4"
-            and os.environ.get("CHATGLM_Q_TPU_ALLOW_BT_GROUPED") == "1"):
-        cands = _BT_GROUPED_CANDIDATES + cands
     done = 0
     for name, (k, n, big) in SHAPES.items():
         # m=8 (decode) always sweeps every shape — the batch-1 headline runs

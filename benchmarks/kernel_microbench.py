@@ -128,7 +128,8 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
         # 0/1 selection-matrix dot (_group_sel)
         xsum = jnp.dot(x.astype(w.dtype), _group_sel(bk, w.dtype),
                        preferred_element_type=jnp.float32)
-        total -= 272.0 * jnp.dot(xsum, s, preferred_element_type=jnp.float32)
+        total -= 272.0 * jnp.dot(xsum, s, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         acc_ref[...] += total
     elif mode == "int8":
         w = p_ref[...].astype(jnp.bfloat16)

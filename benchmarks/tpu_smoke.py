@@ -118,11 +118,6 @@ def main():
     # must be hardware-validated, not only interpret-mode tested
     s4h = s4.astype(jnp.bfloat16)
     want_h = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4h).astype(jnp.float32)
-    # bt_grouped: round 4 root-caused the round-3 hardware mismatch to a
-    # nibble-bias bug in _bittrick_unpack (q mod 16 vs q+8) and fixed it —
-    # this run is the quarantine-lift validation (pallas_matmul.py)
-    import os
-    os.environ["CHATGLM_Q_TPU_ALLOW_BT_GROUPED"] = "1"
     for scheme in ("grouped", "selscale", "bt_grouped"):
         got = PM.int4_matmul_pallas(x, p4, s4h, scheme=scheme)
         check(f"int4_{scheme}", got, want_h, rtol=5e-2, atol=5e-1)

@@ -305,7 +305,13 @@ def _int4_fwd_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, interpret, k_total,
         # Per-group x sums via the 0/1 selection-matrix MXU dot (_group_sel).
         xsum = jnp.dot(xb, _group_sel(bk, w.dtype),
                        preferred_element_type=jnp.float32)  # (bm, gb)
-        total -= 272.0 * jnp.dot(xsum, s2, preferred_element_type=jnp.float32)
+        # HIGHEST: the correction dot has f32 operands, and the TPU default
+        # rounds f32 matmul inputs to bf16 — the ~900-magnitude offset then
+        # mis-cancels by ~1 absolute (hardware 2026-08-19: max err 0.896 vs
+        # 0.09 for the other schemes).  The (bm, gb)·(gb, bn) dot is tiny,
+        # full-precision passes cost nothing.
+        total -= 272.0 * jnp.dot(xsum, s2, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         acc_ref[...] += total
     elif scheme == "grouped" and not _PERF_DEBUG_NOSCALE:
         s = s.astype(jnp.float32)                         # (gb, bn)
@@ -383,21 +389,13 @@ def int8_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, scheme=None,
     return out[:M]
 
 
-def _check_bt_grouped_quarantine(scheme: str, interpret: bool) -> None:
-    """bt_grouped was exact in interpret mode / the f64 audit but wrong on
-    real v5e (tpu_smoke 2026-08-18: max err 75.4 vs oracle).  Round 4
-    root-caused it to a BIAS BUG in _bittrick_unpack's hardware branch (it
-    built 256 + 2·(q mod 16) instead of 256 + 2·(q+8) — see the XOR 0x8
-    fix there), not a Mosaic miscompile.  The quarantine stays until a
-    hardware tpu_smoke run confirms the fixed kernel exact; enable with
-    CHATGLM_Q_TPU_ALLOW_BT_GROUPED=1 for that validation run."""
-    if (scheme == "bt_grouped" and not interpret
-            and os.environ.get("CHATGLM_Q_TPU_ALLOW_BT_GROUPED") != "1"):
-        raise ValueError(
-            "int4 scheme 'bt_grouped' is numerically broken under Mosaic on "
-            "TPU hardware (see docs/RESULTS.md); it is also slower than "
-            "'broadcast'/'selscale'. Set CHATGLM_Q_TPU_ALLOW_BT_GROUPED=1 "
-            "only to debug it.")
+# History: bt_grouped was QUARANTINED for round 3 ("wrong on hardware,
+# max err 75.4, suspected Mosaic miscompile").  Round 4 root-caused it to
+# two ordinary bugs — the _bittrick_unpack nibble bias (q mod 16 vs q+8)
+# and the TPU default bf16 matmul precision on the f32 rank-1 correction
+# dot — and hardware revalidation (benchmarks/logs/btg_recheck.out,
+# 2026-08-19: max err 8.0e-2, identical to `grouped`) lifted the
+# quarantine.  docs/RESULTS.md has the full post-mortem.
 
 
 def _pick_int4_bk(K: int, bk_cap: int):
@@ -436,7 +434,6 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
         bk_cap = min(bk_cap, 1024)
     if interpret is None:
         interpret = not _is_tpu()
-    _check_bt_grouped_quarantine(scheme, interpret)
     M, K = x.shape
     K2, N = packed.shape
     G = scale.shape[0]
@@ -647,8 +644,10 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
             # (bm, _CK, 32) reshape splits the lane dim — unsupported)
             xsum = jnp.dot(xb, _group_sel(_CK, w.dtype),
                            preferred_element_type=jnp.float32)
+            # HIGHEST — see _int4_fwd_kernel's correction-dot note
             total -= 272.0 * jnp.dot(xsum, s2,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
             acc_ref[...] += total
             return ()
         q = pltpu.bitcast(pbuf[slot], jnp.int4)            # (_CK, bn)
@@ -686,7 +685,6 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
     """
     if interpret is None:
         interpret = not _is_tpu()
-    _check_bt_grouped_quarantine(_resolve_scheme(scheme), interpret)
     bn_cap = _BN_CAP or bn_cap
     M, K = x.shape
     K2, N = packed.shape
@@ -736,16 +734,14 @@ def int4_matmul_auto(x, packed, scale, *, interpret=None):
 
     tuned = AT.lookup("int4", _block_m(x.shape[0]), 2 * packed.shape[0],
                       packed.shape[1]) or {}
-    if (tuned.get("scheme") == "bt_grouped"
-            and os.environ.get("CHATGLM_Q_TPU_ALLOW_BT_GROUPED") != "1"):
-        # stale table from a pre-quarantine sweep: the quarantine check
-        # would raise at trace time in production.  Downgrade to the
-        # defaults (scheme/blocks were tuned for bt_grouped, so drop all)
-        # instead of erroring; a fresh sweep re-records the shape.
+    if tuned.get("scheme") == "bt_grouped" and not tuned.get("exact"):
+        # pre-round-4 tables timed bt_grouped while its numerics were
+        # broken on hardware; only exactness-verified entries may select it
         import warnings
 
-        warnings.warn("autotune table selects quarantined 'bt_grouped'; "
-                      "ignoring the stale entry (re-run the sweep)")
+        warnings.warn("autotune table selects 'bt_grouped' without an "
+                      "exactness row; ignoring the stale entry "
+                      "(re-run the sweep)")
         tuned = {}
     impl = "grid" if _NO_PIPELINE else tuned.get("impl")
     if impl != "grid":

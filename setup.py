@@ -12,6 +12,7 @@ setup(
     version="0.1.0",
     description="TPU-native weight-only-quantized inference engine for ChatGLM2-style models (JAX/Pallas)",
     packages=find_packages(include=["chatglm_q_tpu", "chatglm_q_tpu.*"]),
+    package_data={"chatglm_q_tpu": ["data/*.json"]},
     python_requires=">=3.10",
     install_requires=[
         "jax",

@@ -196,6 +196,35 @@ def test_autotune_table_and_dispatch(tmp_path, monkeypatch):
         AT.reload()
 
 
+def test_autotune_packaged_defaults(tmp_path, monkeypatch):
+    """The repo ships measured winners (data/autotune_defaults.json) that a
+    fresh clone reads without a sweep; a user-cache entry for the same key
+    overrides the packaged default, and record() keeps the merge fresh."""
+    import json
+
+    from chatglm_q_tpu.ops import autotune as AT
+
+    defaults = tmp_path / "defaults.json"
+    kind = AT.device_kind()
+    json.dump({f"{kind}|int4|m8k512n384": {"impl": "grid", "bk": 256,
+                                           "scheme": "grouped"},
+               f"{kind}|int4|m8k512n512": {"impl": "grid", "bk": 128,
+                                           "scheme": "broadcast"}},
+              defaults.open("w"))
+    monkeypatch.setattr(AT, "_PACKAGED_DEFAULTS", str(defaults))
+    monkeypatch.setenv("CHATGLM_Q_TPU_AUTOTUNE", str(tmp_path / "at.json"))
+    AT.reload()
+    try:
+        assert AT.lookup("int4", 8, 512, 384)["bk"] == 256
+        AT.record("int4", 8, 512, 384, {"impl": "pipelined", "bn": 128,
+                                        "scheme": "selscale"})
+        assert AT.lookup("int4", 8, 512, 384)["scheme"] == "selscale"
+        # untouched defaults still visible after a record()
+        assert AT.lookup("int4", 8, 512, 512)["bk"] == 128
+    finally:
+        AT.reload()
+
+
 @pytest.mark.parametrize("scheme", ["broadcast", "grouped"])
 def test_int4_pipelined_f16_scales(scheme, monkeypatch):
     """Scales are STORED float16 since the f16-scale change; the pipelined

@@ -61,9 +61,7 @@ K, N, T = 4096, 4096, 1024
 @pytest.mark.parametrize("scheme", ["broadcast", "grouped", "selscale",
                                     "bt_grouped"])
 @pytest.mark.parametrize("impl", ["grid", "pipelined"])
-def test_int4_fwd_compiles(scheme, impl, monkeypatch):
-    if scheme == "bt_grouped":  # quarantined pending hardware revalidation
-        monkeypatch.setenv("CHATGLM_Q_TPU_ALLOW_BT_GROUPED", "1")
+def test_int4_fwd_compiles(scheme, impl):
     fn = (PM.int4_matmul_pallas if impl == "grid"
           else PM.int4_matmul_pallas_pipelined)
     aot(lambda x, p, s: fn(x, p, s, scheme=scheme, interpret=False),
