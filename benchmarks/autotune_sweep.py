@@ -46,12 +46,17 @@ HBM_GBPS = 819.0  # v5e
 _IMPOSSIBLE_BW = 1.5 * HBM_GBPS * 1e9
 
 
+# the sweep's scale storage dtypes — single source for chain_arg_dtypes,
+# chain_inputs, and the traffic model (they must agree: the scale stream
+# is 1/8 of the int4 weight bytes)
+_SCALE_DTYPE = {"int4": jnp.bfloat16, "int8": jnp.float32}
+
+
 def _traffic_bytes(kernel, k, n):
+    sbytes = jnp.dtype(_SCALE_DTYPE[kernel]).itemsize
     if kernel == "int4":
-        sdt = chain_arg_dtypes("int4", 8, k, n)[2][1]
-        return k * n // 2 + (k // 32) * n * jnp.dtype(sdt).itemsize
-    sdt = chain_arg_dtypes("int8", 8, k, n)[2][1]
-    return k * n + jnp.dtype(sdt).itemsize * n
+        return k * n // 2 + (k // 32) * n * sbytes
+    return k * n + sbytes * n
 
 # ChatGLM2-6B linear shapes in STORAGE dims (int4_storage_k padding).
 # name: (K, N, traffic_dominant)
@@ -138,11 +143,12 @@ def build_chain(kernel, k, n, impl, cfg):
 
 def chain_arg_dtypes(kernel, m, k, n):
     """(x, w, s) shapes/dtypes for build_chain programs."""
+    Lc = _chain_len(kernel, k, n)
     if kernel == "int4":
-        return (((m, k), jnp.bfloat16), ((L, k // 2, n), jnp.uint8),
-                ((L, k // 32, n), jnp.bfloat16))
-    return (((m, k), jnp.bfloat16), ((L, k, n), jnp.int8),
-            ((L, n), jnp.float32))
+        return (((m, k), jnp.bfloat16), ((Lc, k // 2, n), jnp.uint8),
+                ((Lc, k // 32, n), _SCALE_DTYPE["int4"]))
+    return (((m, k), jnp.bfloat16), ((Lc, k, n), jnp.int8),
+            ((Lc, n), _SCALE_DTYPE["int8"]))
 
 
 def _single_call(kernel, impl, cfg):
@@ -193,19 +199,45 @@ def verify(kernel, m, k, n, impl, cfg, rel_tol=2e-2):
     return rel
 
 
+def _chain_len(kernel, k, n) -> int:
+    """Distinct weights per chain: enough to bust any cache, but capped so
+    huge shapes (lm_head: 150 MB/copy) don't exhaust backend HBM — the
+    round-4 sweep OOM'd every lm_head candidate at L=8 (1.2 GB steady +
+    the eager-RNG transient this backend is known to trip on)."""
+    per = _traffic_bytes(kernel, k, n)
+    return max(2, min(L, int(6e8 // max(per, 1))))
+
+
+def chain_inputs(kernel, m, k, n):
+    """(x, w, s) on device, generated under ONE jit (eager RNG streams OOM
+    this backend — bench.py make_params has the same rule)."""
+    Lc = _chain_len(kernel, k, n)
+
+    @jax.jit
+    def gen(key):
+        kx, kw = jax.random.split(key)
+        x = jax.random.normal(kx, (m, k), jnp.bfloat16)
+        if kernel == "int4":
+            w = jax.random.bits(kw, (Lc, k // 2, n), jnp.uint8)
+            s = jnp.full((Lc, k // 32, n), 0.01, _SCALE_DTYPE["int4"])
+        else:
+            w = jax.random.bits(kw, (Lc, k, n), jnp.uint8).astype(jnp.int8)
+            s = jnp.full((Lc, n), 0.01, _SCALE_DTYPE["int8"])
+        return x, w, s
+
+    out = gen(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    return out
+
+
 def measure(kernel, m, k, n, impl, cfg):
-    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
-    if kernel == "int4":
-        w = jax.random.bits(jax.random.PRNGKey(1), (L, k // 2, n), jnp.uint8)
-        s = jnp.full((L, k // 32, n), 0.01, jnp.bfloat16)
-    else:
-        w = jax.random.bits(jax.random.PRNGKey(1), (L, k, n), jnp.uint8).astype(jnp.int8)
-        s = jnp.full((L, n), 0.01, jnp.float32)
+    x, w, s = chain_inputs(kernel, m, k, n)
+    Lc = w.shape[0]
     run = build_chain(kernel, k, n, impl, cfg)
     floor = _traffic_bytes(kernel, k, n) / _IMPOSSIBLE_BW
     for attempt in range(3):
         t = slope_time_auto(lambda r: force(run(x, w, s, r)), 2, 8,
-                            repeats=3 + 2 * attempt) / L
+                            repeats=3 + 2 * attempt) / Lc
         if t >= floor:
             return t
     raise RuntimeError(

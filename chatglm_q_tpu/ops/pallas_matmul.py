@@ -594,18 +594,69 @@ def int4_matmul_t_pallas(g, packed, scale, *, bk_cap=512, bn_cap=2048, interpret
 # serially — utils analysis in docs/RESULTS.md)
 # ---------------------------------------------------------------------------
 
-# K rows per pipelined chunk (packed rows _CK // 2); env-tunable for sweeps
+# K rows per pipelined chunk CAP (packed rows ck // 2); env-tunable.  The
+# actual chunk is the largest divisor of K that is a multiple of 256 and
+# ≤ the cap (so e.g. w_out's K=13824 pipelines with ck=1536).
 _CK = int(os.environ.get("CHATGLM_Q_TPU_PIPE_CK", "2048"))
 
 
+def _pick_pipeline_ck(K: int) -> int | None:
+    return _largest_divisor(K, 256, _CK)
+
+
+def _int4_chunk_compute(xk, ptile, stile, acc_like, *, scheme, interpret,
+                        xdtype):
+    """Dequantize one (ck, bn) packed chunk and contract with xk (bm, ck);
+    returns the (bm, bn) f32 partial.  Shared by the statically-unrolled
+    pipelined kernel; mirrors _int4_fwd_kernel's scheme branches."""
+    ck2, bn = ptile.shape
+    ck = 2 * ck2
+    gb = ck // 32
+    if scheme == "bt_grouped":
+        w = _bittrick_unpack(ptile, interpret)             # (ck, bn) bf16
+        s2 = stile.astype(jnp.float32) * 0.5               # (gb, bn)
+        xb = xk.astype(w.dtype)  # offset must see the same rounded
+        # activations as the dots (exact cancellation of the bias)
+        total = jnp.zeros_like(acc_like)
+        for g in range(gb):
+            pg = jnp.dot(xb[:, 32 * g:32 * (g + 1)],
+                         w[32 * g:32 * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s2[g][None, :]
+        xsum = jnp.dot(xb, _group_sel(ck, w.dtype),
+                       preferred_element_type=jnp.float32)
+        # HIGHEST — see _int4_fwd_kernel's correction-dot note
+        total -= 272.0 * jnp.dot(xsum, s2,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        return total
+    q = _unpack_tile_int4(ptile, interpret)                # (ck, bn)
+    w = q.astype(xdtype)
+    if scheme == "selscale":
+        w = w * _selscale_expand(stile, ck, xdtype)
+        return jnp.dot(xk, w, preferred_element_type=jnp.float32)
+    if scheme == "grouped":
+        s = stile.astype(jnp.float32)                      # (gb, bn)
+        total = jnp.zeros_like(acc_like)
+        for g in range(gb):
+            pg = jnp.dot(xk[:, 32 * g:32 * (g + 1)],
+                         w[32 * g:32 * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        return total
+    s = stile.astype(xdtype)                               # (gb, bn)
+    w = (w.reshape(gb, 32, bn) * s[:, None, :]).reshape(ck, bn)
+    return jnp.dot(xk, w, preferred_element_type=jnp.float32)
+
+
 def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems,
-                           *, k_total, bn, scheme, interpret=False):
+                           *, k_total, bn, ck_rows, scheme, interpret=False):
     n = pl.program_id(0)
-    num_chunks = k_total // _CK
+    num_chunks = k_total // ck_rows
 
     def get_dmas(slot, ck):
-        rows = pl.ds(ck * (_CK // 2), _CK // 2)
-        grows = pl.ds(ck * (_CK // 32), _CK // 32)
+        rows = pl.ds(ck * (ck_rows // 2), ck_rows // 2)
+        grows = pl.ds(ck * (ck_rows // 32), ck_rows // 32)
         cols = pl.ds(n * bn, bn)
         return (
             pltpu.make_async_copy(p_hbm.at[rows, cols], pbuf.at[slot], sems.at[slot, 0]),
@@ -616,62 +667,25 @@ def _int4_pipelined_kernel(x_ref, p_hbm, s_hbm, o_ref, pbuf, sbuf, acc_ref, sems
         d.start()
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(ck, _):
-        slot = jax.lax.rem(ck, 2)
-        nxt = jax.lax.rem(ck + 1, 2)
-
-        @pl.when(ck + 1 < num_chunks)
-        def _():
-            for d in get_dmas(nxt, ck + 1):
+    # STATICALLY UNROLLED chunk loop (num_chunks is trace-time static):
+    # the fori_loop version indexed the revolving buffers with a DYNAMIC
+    # slot (lax.rem(ck, 2)), and dynamically-indexed VMEM scratch defeats
+    # Mosaic's scheduling — the hardware sweep measured the "pipelined"
+    # kernel byte-for-byte as slow as the serial grid kernel (32.4 us vs
+    # the 17.6 us DMA floor at the qo_proj decode tile).  With static
+    # slots every chunk's DMA wait, compute, and next-chunk DMA start are
+    # independently schedulable.
+    for ck in range(num_chunks):
+        slot = ck % 2
+        if ck + 1 < num_chunks:
+            for d in get_dmas((ck + 1) % 2, ck + 1):
                 d.start()
-
         for d in get_dmas(slot, ck):
             d.wait()
-
-        xk = x_ref[:, pl.ds(ck * _CK, _CK)]
-        if scheme == "bt_grouped":
-            w = _bittrick_unpack(pbuf[slot], interpret)    # (_CK, bn) bf16
-            s2 = sbuf[slot].astype(jnp.float32) * 0.5      # (_CK//32, bn)
-            xb = xk.astype(w.dtype)  # offset must see the same rounded
-            # activations as the dots (exact cancellation of the bias)
-            total = jnp.zeros_like(acc_ref)
-            for g in range(_CK // 32):
-                pg = jnp.dot(xb[:, 32 * g:32 * (g + 1)],
-                             w[32 * g:32 * (g + 1)],
-                             preferred_element_type=jnp.float32)
-                total += pg * s2[g][None, :]
-            # selection-matrix per-group x sums (_group_sel; the direct
-            # (bm, _CK, 32) reshape splits the lane dim — unsupported)
-            xsum = jnp.dot(xb, _group_sel(_CK, w.dtype),
-                           preferred_element_type=jnp.float32)
-            # HIGHEST — see _int4_fwd_kernel's correction-dot note
-            total -= 272.0 * jnp.dot(xsum, s2,
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
-            acc_ref[...] += total
-            return ()
-        q = pltpu.bitcast(pbuf[slot], jnp.int4)            # (_CK, bn)
-        w = q.astype(x_ref.dtype)
-        if scheme == "selscale":
-            # MXU scale expansion — see _int4_fwd_kernel
-            w = w * _selscale_expand(sbuf[slot], _CK, x_ref.dtype)
-            acc_ref[...] += jnp.dot(xk, w, preferred_element_type=jnp.float32)
-        elif scheme == "grouped":
-            s = sbuf[slot].astype(jnp.float32)             # (_CK//32, bn)
-            total = jnp.zeros_like(acc_ref)
-            for g in range(_CK // 32):
-                pg = jnp.dot(xk[:, 32 * g:32 * (g + 1)],
-                             w[32 * g:32 * (g + 1)],
-                             preferred_element_type=jnp.float32)
-                total += pg * s[g][None, :]
-            acc_ref[...] += total
-        else:
-            s = sbuf[slot].astype(x_ref.dtype)             # (_CK//32, bn)
-            w = (w.reshape(_CK // 32, 32, bn) * s[:, None, :]).reshape(_CK, bn)
-            acc_ref[...] += jnp.dot(xk, w, preferred_element_type=jnp.float32)
-        return ()
-
-    jax.lax.fori_loop(0, num_chunks, body, ())
+        xk = x_ref[:, ck * ck_rows:(ck + 1) * ck_rows]
+        acc_ref[...] += _int4_chunk_compute(
+            xk, pbuf[slot], sbuf[slot], acc_ref, scheme=scheme,
+            interpret=interpret, xdtype=x_ref.dtype)
     o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
@@ -679,16 +693,18 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
                                  scheme=None, interpret=None):
     """Decode-path int4 dequant matmul with explicit DMA/compute overlap.
 
-    Requirements: K a multiple of 2048 (guaranteed for quantized linears by
-    int4_storage_k padding when K > 512), M ≤ 64.  Returns None when the
-    shape is unsupported (caller falls back to the grid kernel).
+    Requirements: K divisible by a 256-multiple chunk (guaranteed for
+    quantized linears by int4_storage_k padding when K > 512), M ≤ 64.
+    Returns None when the shape is unsupported (caller falls back to the
+    grid kernel).
     """
     if interpret is None:
         interpret = not _is_tpu()
     bn_cap = _BN_CAP or bn_cap
     M, K = x.shape
     K2, N = packed.shape
-    if K != 2 * K2 or K % _CK or M > 64:
+    ck = _pick_pipeline_ck(K)
+    if K != 2 * K2 or ck is None or M > 64:
         return None
     bn = _largest_divisor(N, 256, bn_cap) or _largest_divisor(N, 128, bn_cap)
     if bn is None:
@@ -699,7 +715,8 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
 
     out = pl.pallas_call(
         functools.partial(_int4_pipelined_kernel, k_total=K, bn=bn,
-                          scheme=_resolve_scheme(scheme), interpret=interpret),
+                          ck_rows=ck, scheme=_resolve_scheme(scheme),
+                          interpret=interpret),
         grid=(N // bn,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
@@ -709,8 +726,8 @@ def int4_matmul_pallas_pipelined(x, packed, scale, *, bn_cap=1024,
         out_specs=pl.BlockSpec((bm, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, _CK // 2, bn), jnp.uint8),
-            pltpu.VMEM((2, _CK // 32, bn), scale.dtype),
+            pltpu.VMEM((2, ck // 2, bn), jnp.uint8),
+            pltpu.VMEM((2, ck // 32, bn), scale.dtype),
             pltpu.VMEM((bm, bn), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

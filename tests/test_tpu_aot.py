@@ -313,6 +313,115 @@ def test_sharded_attention_kernels_compile():
                         q, kp, vp, li, pt, lp).compile()
 
 
+def test_pod8_train_step_compiles():
+    """8-device (2, 4) v5e pod: the FULL training step — loss + grads
+    through the quantized layers + optax update — GSPMD-compiles with the
+    real dp/tp param layout (BASELINE configs 4-5 are unmeasurable without
+    hardware, but they must stay compile-proven at pod shapes)."""
+    import optax
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.parallel import sharding as S
+    from chatglm_q_tpu.utils.train import make_train_step, partition_params
+
+    topo = topologies.get_topology_desc("v5e:2x4", platform="tpu")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 4),
+                (S.DATA_AXIS, S.MODEL_AXIS))
+    cfg = ChatGLM2Config(
+        hidden_size=256, inner_hidden_size=512, head_hidden_size=32,
+        num_multi_query_groups=2, num_attention_heads=8, num_layers=2,
+        vocab_size=1024, max_sequence_length=64,
+    )
+    qt = "int4g32"
+    rt = TpuRuntimeConfig(use_pallas=False, remat_layers=True)
+    optimizer = optax.adamw(1e-4)
+
+    shapes = jax.eval_shape(
+        lambda key: M.init_params(key, cfg, qt, jnp.float32),
+        jax.random.PRNGKey(0))
+    specs = S.param_pspecs(cfg, qt, shapes)
+
+    def shard(tree, spec_tree):
+        # trainable/frozen trees hold None at each other's leaf positions
+        return jax.tree.map(
+            lambda sds, sp: None if sds is None else jax.ShapeDtypeStruct(
+                sds.shape, sds.dtype, sharding=NamedSharding(mesh, sp)),
+            tree, spec_tree, is_leaf=lambda x: x is None)
+
+    trainable_s, frozen_s = jax.eval_shape(
+        lambda key: partition_params(M.init_params(key, cfg, qt, jnp.float32)),
+        jax.random.PRNGKey(0))
+    t_specs = jax.tree.map(lambda t, sp: None if t is None else sp,
+                           trainable_s, specs, is_leaf=lambda x: x is None)
+    f_specs = jax.tree.map(lambda f, sp: None if f is None else sp,
+                           frozen_s, specs, is_leaf=lambda x: x is None)
+    trainable = shard(trainable_s, t_specs)
+    frozen = shard(frozen_s, f_specs)
+    # optimizer state: unspecified shardings — GSPMD propagates them from
+    # the trainable leaves (mu/nu mirror the param layout)
+    opt_state = jax.eval_shape(optimizer.init, trainable_s)
+    batch, seq = 4, 32
+    data = NamedSharding(mesh, P(S.DATA_AXIS, None))
+    ids = jax.ShapeDtypeStruct((batch, seq), jnp.int32, sharding=data)
+    labels = jax.ShapeDtypeStruct((batch, seq), jnp.int32, sharding=data)
+
+    step = make_train_step(cfg, qt, optimizer, jnp.float32, rt)
+    with mesh:
+        jax.jit(step).lower(trainable, frozen, opt_state, ids, labels).compile()
+
+
+def test_pod8_msharded_paged_decode_compiles():
+    """8-device (2, 4) v5e pod: the distributed paged engine's inner decode
+    program — paged pool sharded over BOTH mesh axes, strided-partial
+    log-sum-exp merge — GSPMD-compiles at pod shape."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.models import paged_kv as PK
+    from chatglm_q_tpu.parallel import sharding as S
+
+    topo = topologies.get_topology_desc("v5e:2x4", platform="tpu")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 4),
+                (S.DATA_AXIS, S.MODEL_AXIS))
+    cfg = ChatGLM2Config(
+        hidden_size=256, inner_hidden_size=512, head_hidden_size=32,
+        num_multi_query_groups=2, num_attention_heads=8, num_layers=2,
+        vocab_size=1024, max_sequence_length=64,
+    )
+    qt = "int4g32"
+    rt = TpuRuntimeConfig(use_pallas=False, mesh=mesh, paged_shard_model=True)
+
+    shapes = jax.eval_shape(
+        lambda key: M.init_params(key, cfg, qt, jnp.float32),
+        jax.random.PRNGKey(0))
+    specs = S.param_pspecs(cfg, qt, shapes)
+    params = jax.tree.map(
+        lambda sds, spec: jax.ShapeDtypeStruct(
+            sds.shape, sds.dtype, sharding=NamedSharding(mesh, spec)),
+        shapes, specs)
+    B, NP_, PSZ = 8, 64, 8
+    kv_specs = S.paged_kv_pspecs(shard_model=True)
+    cache_shapes = jax.eval_shape(
+        lambda: PK.init_paged_kv_cache(cfg, B, NP_, max_length=64,
+                                       page_size=PSZ, dtype=jnp.float32))
+    cache = jax.tree.map(
+        lambda sds, sp: jax.ShapeDtypeStruct(
+            sds.shape, sds.dtype, sharding=NamedSharding(mesh, sp)),
+        cache_shapes, kv_specs)
+    tok = jax.ShapeDtypeStruct((B,), jnp.int32,
+                               sharding=NamedSharding(mesh, P(S.DATA_AXIS)))
+    with mesh:
+        jax.jit(
+            lambda p, t, c: PK.decode_step_paged(p, cfg, t, c, qt,
+                                                 jnp.float32, rt)
+        ).lower(params, tok, cache).compile()
+
+
 def test_multichip_tp_pallas_decode_compiles(monkeypatch):
     """The rt.tp_pallas serving program at 6B widths: per-shard fused
     dequant kernels under shard_map (col/row Megatron placement) + the
