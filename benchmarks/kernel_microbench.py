@@ -145,14 +145,30 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, mode):
         dl = jnp.dot(x, wl, preferred_element_type=jnp.float32)
         xsum = x.astype(jnp.float32).sum(axis=1, keepdims=True)
         acc_ref[...] += 8.0 * dh + 0.5 * dl - 2304.0 * xsum
-    elif mode == "int4_dma":
+    elif mode in ("int4_dma", "int4_dma_contig"):
         # pure-DMA floor: Pallas copies the FULL weight block to VMEM per
         # the BlockSpec regardless of use, so consuming only 8 rows keeps
         # the whole-stream DMA with negligible VPU work (summing the whole
         # block would itself cost ~2 VPU passes and mask the DMA time).
         # u8→f32 casts don't legalize on v5e; go via i32.
-        p = p_ref[:8, :]
+        # _contig: the weight arrives PRE-TILED (nb, K/2, bn) so each block
+        # DMA is one contiguous span instead of bn-byte strided rows —
+        # measures how much of the 819-538=281 GB/s gap is stride overhead.
+        p = p_ref[0, :8, :] if mode == "int4_dma_contig" else p_ref[:8, :]
         acc_ref[...] += p.astype(jnp.int32).sum().astype(jnp.float32) * 1e-6
+    elif mode == "int4_grouped_contig":
+        # grouped-scheme compute on the pre-tiled contiguous layout
+        q = pltpu.bitcast(p_ref[0], jnp.int4)
+        w = q.astype(jnp.bfloat16)
+        bk, bn = w.shape
+        s = s_ref[0].astype(jnp.float32)
+        total = jnp.zeros_like(acc_ref)
+        for g in range(bk // GROUP):
+            pg = jnp.dot(x[:, GROUP * g:GROUP * (g + 1)],
+                         w[GROUP * g:GROUP * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        acc_ref[...] += total
     else:  # bf16
         acc_ref[...] += jnp.dot(x, p_ref[...], preferred_element_type=jnp.float32)
 
@@ -166,15 +182,28 @@ _INT4_MODES = ("int4", "int4_noscale", "int4_repeat", "int4_selscale",
                "int4_bt_grouped", "int4_convert_i8", "int4_dma")
 
 
+_CONTIG_MODES = ("int4_dma_contig", "int4_grouped_contig")
+
+
 def matmul(mode, x, p, s):
-    wspec = (BK // 2, BN) if mode in _INT4_MODES else (BK, BN)
+    if mode in _CONTIG_MODES:
+        # p (nb, K/2, bn), s (nb, K/32, bn) pre-tiled: block DMAs contiguous
+        wspec = pl.BlockSpec((1, BK // 2, BN), lambda m, n, k: (n, k, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec((1, BK // 32, BN), lambda m, n, k: (n, k, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        wspec = pl.BlockSpec((BK // 2, BN) if mode in _INT4_MODES else (BK, BN),
+                             lambda m, n, k: (k, n), memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec((BK // 32, BN), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, mode=mode),
         grid=(1, N // BN, K // BK),
         in_specs=[
             pl.BlockSpec((M, BK), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(wspec, lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK // 32, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            wspec,
+            sspec,
         ],
         out_specs=pl.BlockSpec((M, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
@@ -188,8 +217,11 @@ def matmul(mode, x, p, s):
 def bench_mode(mode):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (M, K), jnp.bfloat16)
-    if mode in _INT4_MODES:
+    if mode in _CONTIG_MODES:
         w = jax.random.bits(jax.random.PRNGKey(1), (L, K // 2, N), jnp.uint8)
+        # pre-tile to (L, nb, K/2, bn): one-time layout transform, done on
+        # host of the measurement — production would do it at load time
+        w = jnp.asarray(w).reshape(L, K // 2, N // BN, BN).transpose(0, 2, 1, 3)
         wbytes = K * N // 2
     elif mode in ("int8", "int8_bt"):
         w = jax.random.bits(jax.random.PRNGKey(1), (L, K, N), jnp.uint8).astype(jnp.int8)
@@ -201,6 +233,8 @@ def bench_mode(mode):
     # Mosaic v5e cannot load f16 vectors); the scale stream is 1/8 of the
     # packed weights, so benching f32 scales would overstate DMA by ~8%
     s = jnp.full((L, K // 32, N), 0.01, jnp.bfloat16)
+    if mode in _CONTIG_MODES:
+        s = s.reshape(L, K // 32, N // BN, BN).transpose(0, 2, 1, 3)
     if mode not in ("bf16", "int8", "int8_bt", "int4_noscale",
                     "int4_bittrick", "int4_convert_i8"):
         wbytes += (K // 32) * N * 2

@@ -1,0 +1,126 @@
+"""Pure-MXU pass-rate floor at decode M: is batch-1 decode bound by
+systolic-array PASSES (m=8 uses 8/128 rows, but a pass over (K, 128·mxus)
+costs the same K cycles regardless of m)?
+
+Weights stay VMEM-RESIDENT (constant index map — Pallas fetches a block
+once and reuses it across sequential grid steps), so the measured time is
+compute only: no HBM DMA in the loop.  Chains R dots per kernel program and
+slope-times whole kernels.
+
+Modes:
+  bf16_m8 / bf16_m128 / bf16_m256 — bf16 MXU dots at several M
+  s8_m8 / s8_m128                 — int8×int8→int32 MXU dots (v5e spec
+                                    claims 2× int8 MAC rate; if true, an
+                                    integer decode path halves the pass
+                                    floor)
+  bf16_m8_n512 / bf16_m8_k512     — pass-shape sensitivity
+
+Usage: python benchmarks/mxu_floor.py [mode ...]
+"""
+import functools
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chatglm_q_tpu.utils.timing import force, slope_time_auto
+
+R = 64  # dots per kernel program (amortizes program launch)
+
+MODES = {
+    # name: (m, k, n, dtype)
+    "bf16_m8": (8, 2048, 1024, "bf16"),
+    "bf16_m32": (32, 2048, 1024, "bf16"),
+    "bf16_m128": (128, 2048, 1024, "bf16"),
+    "bf16_m256": (256, 2048, 1024, "bf16"),
+    "s8_m8": (8, 2048, 1024, "s8"),
+    "s8_m128": (128, 2048, 1024, "s8"),
+    "bf16_m8_n512": (8, 2048, 512, "bf16"),
+    "bf16_m8_k512": (8, 512, 1024, "bf16"),
+}
+
+
+def _kernel(x_ref, w_ref, o_ref, acc_ref, *, dtype):
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if dtype == "s8":
+        d = jax.lax.dot_general(
+            x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_ref[...] += d
+    else:
+        acc_ref[...] += jnp.dot(x_ref[...], w_ref[...],
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(r == pl.num_programs(0) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def run_mode(name):
+    m, k, n, dt = MODES[name]
+    if dt == "s8":
+        x = jax.random.randint(jax.random.PRNGKey(0), (m, k), -127, 128, jnp.int8)
+        w = jax.random.randint(jax.random.PRNGKey(1), (k, n), -127, 128, jnp.int8)
+        odt, adt = jnp.int32, jnp.int32
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16) * 0.01
+        odt, adt = jnp.bfloat16, jnp.float32
+
+    call = pl.pallas_call(
+        functools.partial(_kernel, dtype=dt),
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, n), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        scratch_shapes=[pltpu.VMEM((m, n), adt)],
+    )
+
+    @jax.jit
+    def chain(x, w, reps):
+        def outer(_, x):
+            y = call(x, w)
+            if dt == "s8":
+                return jnp.clip(y >> 8, -127, 127).astype(jnp.int8)[:, :k] \
+                    if n >= k else jnp.pad(
+                        jnp.clip(y >> 8, -127, 127).astype(jnp.int8),
+                        ((0, 0), (0, k - n)))
+            y = (y * 1e-2).astype(jnp.bfloat16)
+            return y[:, :k] if n >= k else jnp.pad(y, ((0, 0), (0, k - n)))
+
+        return jax.lax.fori_loop(0, reps, outer, x).astype(jnp.float32).sum()
+
+    per_call = slope_time_auto(lambda r: force(chain(x, w, r)), 2, 8) / R
+    macs = m * k * n
+    passes_cycles = k * (n / 128)  # single-MXU output-stationary model
+    print(json.dumps({
+        "mode": name, "us_per_dot": round(per_call * 1e6, 2),
+        "eff_tops": round(macs * 2 / per_call / 1e12, 2),
+        "cycles_at_940MHz": int(per_call * 940e6),
+        "model_cycles_1mxu": int(passes_cycles),
+        "implied_mxus": round(passes_cycles / (per_call * 940e6), 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    for name in (sys.argv[1:] or list(MODES)):
+        try:
+            run_mode(name)
+        except Exception as e:
+            print(json.dumps({"mode": name, "error": repr(e)[:300]}), flush=True)
