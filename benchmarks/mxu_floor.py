@@ -118,9 +118,166 @@ def run_mode(name):
     }), flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Attribution kit: per-stage costs with VMEM-RESIDENT inputs (no DMA), plus
+# a direct DMA/compute overlap probe.  BK×BN matches the production decode
+# tile; every mode accumulates into acc_ref so nothing is dead-code'd.
+# ---------------------------------------------------------------------------
+
+BK, BN, GB = 2048, 1024, 64
+M8 = 8
+
+
+def _attr_kernel(x_ref, p_ref, w_ref, s_ref, o_ref, acc_ref, *, mode):
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    if mode == "dot_resident":
+        acc_ref[...] += jnp.dot(x, w_ref[...],
+                                preferred_element_type=jnp.float32)
+    elif mode == "conv_dot":
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        acc_ref[...] += jnp.dot(x, q.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+    elif mode == "conv_i8_dot":
+        # int4 → int8 convert + ONE big s8×s8 MXU dot (the integer path's
+        # per-element work; x arrives pre-quantized int8)
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        d = jax.lax.dot_general(x, q.astype(jnp.int8),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        acc_ref[...] += d.astype(jnp.float32)
+    elif mode == "scale_dot":
+        w = w_ref[...]
+        s = s_ref[...].astype(jnp.bfloat16)
+        w = (w.reshape(GB, 32, BN) * s[:, None, :]).reshape(BK, BN)
+        acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    elif mode == "grouped_dots":
+        w = w_ref[...]
+        s = s_ref[...].astype(jnp.float32)
+        total = jnp.zeros_like(acc_ref)
+        for g in range(GB):
+            pg = jnp.dot(x[:, 32 * g:32 * (g + 1)], w[32 * g:32 * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        acc_ref[...] += total
+    elif mode == "grouped_dots_nodequant":
+        # the 64 small dots alone (no scale mul): small-dot launch overhead
+        w = w_ref[...]
+        total = jnp.zeros_like(acc_ref)
+        for g in range(GB):
+            total += jnp.dot(x[:, 32 * g:32 * (g + 1)],
+                             w[32 * g:32 * (g + 1)],
+                             preferred_element_type=jnp.float32)
+        acc_ref[...] += total
+    elif mode == "full_grouped":
+        # convert + grouped partial dots + partial scales (the production
+        # grouped scheme's compute, weights resident)
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        w = q.astype(jnp.bfloat16)
+        s = s_ref[...].astype(jnp.float32)
+        total = jnp.zeros_like(acc_ref)
+        for g in range(GB):
+            pg = jnp.dot(x[:, 32 * g:32 * (g + 1)], w[32 * g:32 * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        acc_ref[...] += total
+    elif mode == "s8_grouped":
+        # integer path: per-group s8 partial dots, scales on i32 partials
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        w8 = q.astype(jnp.int8)
+        s = s_ref[...].astype(jnp.float32)
+        total = jnp.zeros_like(acc_ref)
+        for g in range(GB):
+            pg = jax.lax.dot_general(
+                x[:, 32 * g:32 * (g + 1)], w8[32 * g:32 * (g + 1)],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            total += pg.astype(jnp.float32) * s[g][None, :]
+        acc_ref[...] += total
+    elif mode == "overlap_probe":
+        # w blocks STREAM over the grid (r-indexed DMA) while the compute
+        # uses only the resident weights: serial = dma + dot, overlapped =
+        # max(dma, dot).  p_ref block changes every step.
+        acc_ref[...] += jnp.dot(x, w_ref[...],
+                                preferred_element_type=jnp.float32)
+        acc_ref[...] += p_ref[:1, :BN].astype(jnp.int32).sum().astype(
+            jnp.float32) * 1e-9
+
+    @pl.when(r == pl.num_programs(0) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+ATTR_MODES = ("dot_resident", "conv_dot", "conv_i8_dot", "scale_dot",
+              "grouped_dots", "grouped_dots_nodequant", "full_grouped",
+              "s8_grouped", "overlap_probe")
+
+
+def run_attr(name, rsteps=64):
+    s8 = name in ("conv_i8_dot", "s8_grouped")
+    if s8:
+        x = jax.random.randint(jax.random.PRNGKey(0), (M8, BK), -127, 128,
+                               jnp.int8)
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(0), (M8, BK), jnp.bfloat16)
+    # overlap_probe streams 64 distinct packed blocks; others keep 1 resident
+    nblk = rsteps if name == "overlap_probe" else 1
+    p = jax.random.bits(jax.random.PRNGKey(1), (nblk * BK // 2, BN), jnp.uint8)
+    w = jax.random.normal(jax.random.PRNGKey(2), (BK, BN), jnp.bfloat16) * 0.01
+    s = jnp.full((GB, BN), 0.01, jnp.bfloat16)
+
+    call = pl.pallas_call(
+        functools.partial(_attr_kernel, mode=name),
+        grid=(rsteps,),
+        in_specs=[
+            pl.BlockSpec((M8, BK), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK // 2, BN),
+                         (lambda r: (r, 0)) if name == "overlap_probe"
+                         else (lambda r: (0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BN), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, BN), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M8, BN), lambda r: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M8, BN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((M8, BN), jnp.float32)],
+    )
+
+    @jax.jit
+    def chain(x, p, w, s, reps):
+        def outer(_, c):
+            y = call(c[0], p, w, s)
+            if s8:
+                nxt = jnp.clip(
+                    y.astype(jnp.int32) >> 8, -127, 127).astype(jnp.int8)
+            else:
+                nxt = (y * 1e-2).astype(jnp.bfloat16)
+            return (jnp.pad(nxt, ((0, 0), (0, BK - BN))),)
+
+        return jax.lax.fori_loop(0, reps, outer, (x,))[0].astype(
+            jnp.float32).sum()
+
+    per_step = slope_time_auto(
+        lambda r: force(chain(x, p, w, s, r)), 2, 8) / rsteps
+    print(json.dumps({
+        "mode": name, "us_per_block": round(per_step * 1e6, 2),
+        "block": f"{BK}x{BN}",
+    }), flush=True)
+
+
 if __name__ == "__main__":
-    for name in (sys.argv[1:] or list(MODES)):
+    args = sys.argv[1:]
+    names = args or (list(MODES) + list(ATTR_MODES))
+    for name in names:
         try:
-            run_mode(name)
+            if name in ATTR_MODES:
+                run_attr(name)
+            else:
+                run_mode(name)
         except Exception as e:
             print(json.dumps({"mode": name, "error": repr(e)[:300]}), flush=True)
