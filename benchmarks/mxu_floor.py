@@ -270,12 +270,137 @@ def run_attr(name, rsteps=64):
     }), flush=True)
 
 
+# ---------------------------------------------------------------------------
+# 3-D-grid overlap matrix: the SAME grouped compute and the SAME (1, N/bn,
+# K/bk) grid as the production kernel, with each factor toggled — resident
+# vs streamed weights, dimension_semantics on/off, strided vs contiguous
+# source layout.  Distinguishes per-call overhead / stride-slow DMA /
+# 3-D-grid serialization.
+# ---------------------------------------------------------------------------
+
+K3, N3 = 4096, 4096  # qo_proj decode shape
+
+
+def _g3_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, compute):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if compute == "grouped":
+        q = pltpu.bitcast(p_ref[...], jnp.int4)
+        w = q.astype(jnp.bfloat16)
+        bk, bn = w.shape
+        s = s_ref[...].astype(jnp.float32)
+        x = x_ref[...]
+        total = jnp.zeros_like(acc_ref)
+        for g in range(bk // 32):
+            pg = jnp.dot(x[:, 32 * g:32 * (g + 1)], w[32 * g:32 * (g + 1)],
+                         preferred_element_type=jnp.float32)
+            total += pg * s[g][None, :]
+        acc_ref[...] += total
+    else:  # dma-only
+        acc_ref[...] += p_ref[:1, :].astype(jnp.int32).sum(
+            keepdims=True).astype(jnp.float32) * 1e-9
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def run_grid3d(name):
+    # name: grid3d_{stream|resident|contig}_{grouped|dma}[_nosem]
+    parts = name.split("_")
+    src, compute = parts[1], parts[2]
+    nosem = name.endswith("_nosem")
+    bk, bn = 2048, 1024
+    x = jax.random.normal(jax.random.PRNGKey(0), (M8, K3), jnp.bfloat16)
+    if src == "contig":
+        # pre-tiled (nb, K/2, bn): each block one contiguous span
+        p = jax.random.bits(jax.random.PRNGKey(1),
+                            (N3 // bn, K3 // 2, bn), jnp.uint8)
+        wspec = pl.BlockSpec((1, bk // 2, bn), lambda m, n, k: (n, k, 0),
+                             memory_space=pltpu.VMEM)
+        s = jnp.full((N3 // bn, K3 // 32, bn), 0.01, jnp.bfloat16)
+        sspec = pl.BlockSpec((1, bk // 32, bn), lambda m, n, k: (n, k, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        p = jax.random.bits(jax.random.PRNGKey(1), (K3 // 2, N3), jnp.uint8)
+        idx = (lambda m, n, k: (0, 0)) if src == "resident" \
+            else (lambda m, n, k: (k, n))
+        wspec = pl.BlockSpec((bk // 2, bn), idx, memory_space=pltpu.VMEM)
+        s = jnp.full((K3 // 32, N3), 0.01, jnp.bfloat16)
+        sidx = (lambda m, n, k: (0, 0)) if src == "resident" \
+            else (lambda m, n, k: (k, n))
+        sspec = pl.BlockSpec((bk // 32, bn), sidx, memory_space=pltpu.VMEM)
+
+    def kern(x_ref, p_ref, s_ref, o_ref, acc_ref):
+        if src == "contig":
+            _g3_kernel(x_ref, p_ref.at[0], s_ref.at[0], o_ref, acc_ref,
+                       compute=compute)
+        else:
+            _g3_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, compute=compute)
+
+    cp = {} if nosem else {"compiler_params": pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))}
+    call = pl.pallas_call(
+        kern,
+        grid=(1, N3 // bn, K3 // bk),
+        in_specs=[
+            pl.BlockSpec((M8, bk), lambda m, n, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            wspec, sspec,
+        ],
+        out_specs=pl.BlockSpec((M8, bn), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M8, N3), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((M8, bn), jnp.float32)],
+        **cp,
+    )
+
+    Lw = 8
+
+    @jax.jit
+    def chain(x, ps, ss, reps):
+        def outer(_, c):
+            def body(cx, wl):
+                pi, si = wl
+                y = call(cx, pi, si)
+                return (y * 1e-2).astype(jnp.bfloat16)[:, :K3], None
+
+            cx, _ = jax.lax.scan(body, c, (ps, ss))
+            return cx
+
+        return jax.lax.fori_loop(0, reps, outer, x).astype(jnp.float32).sum()
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 2)
+        ps = jax.random.bits(ks[0], (Lw,) + p.shape, jnp.uint8)
+        ss = jnp.full((Lw,) + s.shape, 0.01, jnp.bfloat16)
+        return ps, ss
+
+    ps, ss = gen(jax.random.PRNGKey(3))
+    jax.block_until_ready((ps, ss))
+    per_call = slope_time_auto(lambda r: force(chain(x, ps, ss, r)), 2, 8) / Lw
+    print(json.dumps({"mode": name,
+                      "us_per_call": round(per_call * 1e6, 2)}), flush=True)
+
+
+GRID3D_MODES = ("grid3d_stream_grouped", "grid3d_stream_grouped_nosem",
+                "grid3d_resident_grouped", "grid3d_stream_dma",
+                "grid3d_contig_grouped", "grid3d_contig_dma")
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     names = args or (list(MODES) + list(ATTR_MODES))
     for name in names:
         try:
-            if name in ATTR_MODES:
+            if name.startswith("grid3d"):
+                run_grid3d(name)
+            elif name in ATTR_MODES:
                 run_attr(name)
             else:
                 run_mode(name)
