@@ -254,6 +254,23 @@ def test_int4_pipelined_alt_schemes(scheme, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("scheme", ["broadcast", "grouped", "bt_grouped"])
+def test_int4_pipelined_nonpow2_chunk(scheme, monkeypatch):
+    """K not divisible by the 2048 chunk cap: the auto chunk picker must
+    select a 256-multiple divisor (3072 → ck 1536, two chunks) instead of
+    refusing the shape — w_out's K=13824 pipelines this way (round 4)."""
+    monkeypatch.setattr(PM, "_INT4_SCHEME", scheme)
+    k, n = 3072, 256
+    assert PM._pick_pipeline_ck(k) == 1536
+    x = rand((4, k), 17)
+    p, s = make_int4(k, n, 18)
+    out = PM.int4_matmul_pallas_pipelined(x, p, s, interpret=INTERPRET)
+    assert out is not None
+    xo = x.astype(jnp.bfloat16).astype(jnp.float32) if scheme == "bt_grouped" else x
+    ref = xo @ Q.unpack_int4_tpu(p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384)])
 def test_int8_bt_scheme(m, k, n):
     """bt (nibble-split bitwise bf16 construction) must match the convert
