@@ -72,9 +72,23 @@ def _prepare_hinv(hessian, weight_nk, percdamp):
     hessian = hessian.at[jnp.arange(K), jnp.arange(K)].add(damp)
 
     chol = jnp.linalg.cholesky(hessian)
-    ident = jnp.eye(K, dtype=hessian.dtype)
-    # torch.cholesky_inverse: H⁻¹ from the lower factor
-    inv_l = jax.scipy.linalg.solve_triangular(chol, ident, lower=True)
+    # torch.cholesky_inverse: H⁻¹ from the lower factor.  The solve runs in
+    # COLUMN SLABS under lax.map: a single K×K triangular solve at w_out's
+    # K=13696 made XLA materialize ~600 MB dynamic-update-slice temps per
+    # step and killed the TPU compile (round-4 r4_gptq_pipeline.err); slab
+    # identity columns are built by iota comparison so the K×K identity is
+    # never materialized either.
+    CH = min(1024, K)
+    n_slabs = -(-K // CH)
+    rows = jnp.arange(K)
+
+    def slab(j0):
+        rhs = (rows[:, None] == (j0 + jnp.arange(CH))[None, :]).astype(
+            hessian.dtype)
+        return jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+
+    slabs = jax.lax.map(slab, jnp.arange(n_slabs) * CH)    # (S, K, CH)
+    inv_l = jnp.moveaxis(slabs, 0, 1).reshape(K, n_slabs * CH)[:, :K]
     hinv = inv_l.T @ inv_l
     # torch.linalg.cholesky(H⁻¹, upper=True) returns U = chol(H⁻¹)ᵀ
     # (upper-triangular, H⁻¹ = Uᵀ U) — int8/quantizer.py:113
