@@ -17,6 +17,25 @@ from typing import Literal, Optional
 
 import jax.numpy as jnp
 
+_TUNNELED: Optional[bool] = None
+
+
+def _is_tunneled_backend() -> bool:
+    """True when the TPU backend is a remote "axon" tunnel (every dispatch
+    pays ~30 ms RTT and un-synced dispatch bursts can stall — see
+    TpuRuntimeConfig.sync_prefill_chunks)."""
+    global _TUNNELED
+    if _TUNNELED is None:
+        try:
+            import jax
+
+            d = jax.devices()[0]
+            _TUNNELED = (d.platform == "tpu"
+                         and "axon" in d.client.platform_version)
+        except Exception:
+            _TUNNELED = False
+    return _TUNNELED
+
 QuantType = Literal["none", "int8", "int4g32"]
 DTypeName = Literal["float32", "float16", "bfloat16"]
 
@@ -161,6 +180,20 @@ class TpuRuntimeConfig:
     # batch over the data axis).  None = single-device kernels; the XLA
     # attention path needs no mesh (GSPMD partitions it automatically).
     mesh: object = None  # Optional[jax.sharding.Mesh]
+
+    # Force a host synchronization after each dispatched prefill chunk.
+    # None = auto: ON for tunneled "axon" backends, where a burst of small
+    # async chunk programs with no sync between them trips a ~60 s
+    # transport stall at the next fetch (round-4 probe: 5-step chunked
+    # admission went 68 s → 24 s with per-chunk syncs, the stall was
+    # dt=60.012 s exactly); OFF everywhere else — on co-located TPUs
+    # async chunk pipelining is strictly good.
+    sync_prefill_chunks: Optional[bool] = None
+
+    def sync_chunks_enabled(self) -> bool:
+        if self.sync_prefill_chunks is not None:
+            return self.sync_prefill_chunks
+        return _is_tunneled_backend()
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:

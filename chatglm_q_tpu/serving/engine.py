@@ -313,6 +313,13 @@ class ServingEngine:
             self.params, self.cache, jnp.asarray(ids), jnp.asarray(starts),
             jnp.asarray(valids), jnp.asarray(take, dtype=jnp.int32),
         )
+        if self.rt.sync_chunks_enabled():
+            # tunneled backends: a burst of async chunk dispatches with no
+            # sync trips a ~60 s transport stall at the next fetch; one
+            # scalar fetch per chunk (~2 RTT) keeps the queue shallow
+            # (config.TpuRuntimeConfig.sync_prefill_chunks).  _fetch: the
+            # distributed engines' hook handles non-addressable shards.
+            self._fetch(jnp.sum(self.cache.lengths))
         for i, b in enumerate(take):
             s = self.slots[b]
             s.pending_pos += int(valids[i])
