@@ -125,6 +125,23 @@ def main():
         if got is not None:
             check(f"int4_pipelined_{scheme}", got, want_h, rtol=5e-2, atol=5e-1)
 
+    # layer-indexed stacked kernels (round 4): DMA layer idx's blocks
+    # straight from the stacked array — must match the sliced kernel
+    Ls = 2
+    p4s = jnp.stack([p4, jnp.roll(p4, 7, axis=1)])
+    s4s = jnp.stack([s4h, s4h * 1.5])
+    for l in range(Ls):
+        got = PM.int4_matmul_pallas_idx(x, p4s, s4s, jnp.int32(l),
+                                        scheme="grouped")
+        want = x.astype(jnp.float32) @ Q.unpack_int4_tpu(
+            p4s[l], s4s[l]).astype(jnp.float32)
+        check(f"int4_idx_l{l}", got, want, rtol=5e-2, atol=5e-1)
+    w8s = jnp.stack([w8, jnp.roll(w8, 3, axis=1)])
+    s8s = jnp.stack([s8, s8 * 0.5])
+    got = PM.int8_matmul_pallas_idx(x, w8s, s8s, jnp.int32(1))
+    want = x.astype(jnp.float32) @ (w8s[1].astype(jnp.float32) * s8s[1])
+    check("int8_idx_l1", got, want, rtol=5e-2, atol=5e-1)
+
     # int8 bt scheme (nibble-split bf16 construction, no int→float convert)
     got = PM.int8_matmul_pallas(x, w8, s8, scheme="bt")
     want = (x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8))

@@ -617,6 +617,42 @@ def _serving_freqs(config, positions, dtype):
     return table[positions]
 
 
+_STACKED_LINEARS = ("q_proj", "kv_proj", "o_proj", "w_in_h", "w_in_gate",
+                    "w_out")
+
+
+def stacked_layer_params(layers: dict, quant_type: str, rt):
+    """(small-leaf xs tree, fn(idx, small_i) → per-layer params).
+
+    When the layer-indexed kernel path applies (quantized, single device),
+    the big weight/scale leaves become ops.linear.StackedWeight so the
+    Pallas kernels DMA layer ``idx`` blocks straight from the stacked
+    arrays — XLA-slicing them per scan step materializes a full per-layer
+    weight copy as the custom-call operand (~35% of the int4 decode step,
+    docs/RESULTS.md round 4).  Small leaves (norms, biases) slice as
+    before.  Returns (None, None) when the mode does not apply."""
+    if rt.mesh is not None or quant_type not in ("int8", "int4g32"):
+        return None, None
+    from ..ops.linear import StackedWeight
+
+    small = {k: v for k, v in layers.items() if k not in _STACKED_LINEARS}
+
+    def make(i, small_i):
+        lp = dict(small_i)
+        for name in _STACKED_LINEARS:
+            leaf = layers[name]
+            entry = {
+                "weight": StackedWeight(leaf["weight"], i),
+                "weight_scale": StackedWeight(leaf["weight_scale"], i),
+            }
+            if "bias" in leaf:
+                entry["bias"] = leaf["bias"][i]
+            lp[name] = entry
+        return lp
+
+    return small, make
+
+
 def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5,
                          cache, start, slot_map=None):
     """Scan blocks over stacked layer params; the full KV cache rides the
@@ -624,10 +660,15 @@ def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5,
     per-layer cache outputs through scan ys would rewrite the entire cache
     every step)."""
     L = config.num_layers
+    small, make = stacked_layer_params(params["layers"], quant_type, rt)
 
     def scan_body(carry, inp):
         h, ck, cv = carry
-        layer_idx, layer_params = inp
+        if make is not None:
+            layer_idx, small_i = inp
+            layer_params = make(layer_idx, small_i)
+        else:
+            layer_idx, layer_params = inp
         kvw = ((ck, cv, layer_idx, start) if slot_map is None
                else (ck, cv, layer_idx, start, slot_map))
         h, (ck, cv) = block_forward(
@@ -636,9 +677,9 @@ def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5,
         )
         return (h, ck, cv), None
 
-    (h, new_k, new_v), _ = jax.lax.scan(
-        scan_body, (h, cache.k, cache.v), (jnp.arange(L), params["layers"])
-    )
+    xs = ((jnp.arange(L), small) if make is not None
+          else (jnp.arange(L), params["layers"]))
+    (h, new_k, new_v), _ = jax.lax.scan(scan_body, (h, cache.k, cache.v), xs)
     return h, new_k, new_v
 
 

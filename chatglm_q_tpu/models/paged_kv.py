@@ -148,10 +148,17 @@ def gather_layer(pool, layer_idx, page_table):
 def _layers_scan_paged(params, config, quant_type, rt, h, freqs_cis, mask5,
                        cache: PagedKVCache, start, aligned=True):
     L = config.num_layers
+    # layer-indexed weights: see M.stacked_layer_params (avoids the XLA
+    # per-layer weight-slice copies in the scan body)
+    small, make = M.stacked_layer_params(params["layers"], quant_type, rt)
 
     def scan_body(carry, inp):
         h, kp, vp = carry
-        layer_idx, layer_params = inp
+        if make is not None:
+            layer_idx, small_i = inp
+            layer_params = make(layer_idx, small_i)
+        else:
+            layer_idx, layer_params = inp
         h, (kp, vp) = M.block_forward(
             layer_params, h, freqs_cis, mask5, config, quant_type, rt,
             kv_write=PagedWrite(kp, vp, layer_idx, cache.page_table, start,
@@ -159,9 +166,10 @@ def _layers_scan_paged(params, config, quant_type, rt, h, freqs_cis, mask5,
         )
         return (h, kp, vp), None
 
+    xs = ((jnp.arange(L), small) if make is not None
+          else (jnp.arange(L), params["layers"]))
     (h, kp, vp), _ = jax.lax.scan(
-        scan_body, (h, cache.k_pool, cache.v_pool),
-        (jnp.arange(L), params["layers"]),
+        scan_body, (h, cache.k_pool, cache.v_pool), xs,
     )
     return h, kp, vp
 

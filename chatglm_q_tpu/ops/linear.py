@@ -14,6 +14,7 @@ mirroring the reference's Triton→torch fallback switch (int8/qlinear.py:6-16).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -23,6 +24,20 @@ from ..config import TpuRuntimeConfig
 from . import quant as Q
 
 _DEFAULT_RT = TpuRuntimeConfig()
+
+
+class StackedWeight(NamedTuple):
+    """A quantized-weight leaf kept STACKED over layers: ``stack`` is the
+    full (L, ...) array and ``idx`` the layer to use.
+
+    The serving layer-scan passes these instead of per-layer slices so the
+    Pallas kernels can DMA blocks of layer ``idx`` straight from the
+    stacked array (pallas_matmul.*_idx).  XLA-slicing the stack per layer
+    materializes a full-weight copy as the custom-call operand — measured
+    at ~35% of the int4 decode step (docs/RESULTS.md round 4)."""
+
+    stack: jax.Array
+    idx: jax.Array  # scalar int32
 
 
 def _float0_zeros(x):
@@ -148,6 +163,48 @@ int4_matmul.defvjp(_int4_matmul_fwd, _int4_matmul_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Stacked (layer-indexed) forward dispatch — serving scan only, no VJP
+# (serving never differentiates; grads would flow through the sliced
+# fallback anyway)
+# ---------------------------------------------------------------------------
+
+
+def _int4_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
+    Ks = w.stack.shape[1] * 2
+    if x.shape[1] < Ks:
+        x = jnp.pad(x, ((0, 0), (0, Ks - x.shape[1])))
+    if _use_pallas(flags):
+        from . import pallas_matmul as PM
+
+        out = PM.int4_matmul_auto_idx(x, w.stack, s.stack, w.idx)
+        if out is not None:
+            return out
+    return _int4_matmul_fallback(x, w.stack[w.idx], s.stack[s.idx])
+
+
+def _int8_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
+    Ks = w.stack.shape[1]
+    if x.shape[1] < Ks:
+        x = jnp.pad(x, ((0, 0), (0, Ks - x.shape[1])))
+    if _use_pallas(flags) and not _dynamic_int8(flags):
+        from . import pallas_matmul as PM
+
+        out = PM.int8_matmul_pallas_idx(x, w.stack, s.stack, w.idx)
+        if out is not None:
+            return out
+    if _use_pallas(flags):  # dynamic_int8 (no idx variant) or odd shapes
+        from . import pallas_matmul as PM
+
+        ws, ss = w.stack[w.idx], s.stack[s.idx]
+        if _dynamic_int8(flags):
+            out = PM.int8_dyn_matmul_pallas(x, ws, ss)
+            if out is not None:
+                return out
+        return PM.int8_matmul_pallas(x, ws, ss)
+    return _int8_matmul_fallback(x, w.stack[w.idx], s.stack[s.idx])
+
+
+# ---------------------------------------------------------------------------
 # Unified linear entry point
 # ---------------------------------------------------------------------------
 
@@ -189,12 +246,15 @@ def quant_linear(
             return y.reshape(*lead, y.shape[-1])
         # None: config cannot take the TP path — standard dispatch below
 
+    stacked = isinstance(params["weight"], StackedWeight)
     if quant_type == "none":
         y = x2 @ params["weight"].astype(x.dtype)
     elif quant_type == "int8":
-        y = int8_matmul(flags, x2, params["weight"], params["weight_scale"])
+        fn = _int8_matmul_stacked if stacked else int8_matmul
+        y = fn(flags, x2, params["weight"], params["weight_scale"])
     elif quant_type == "int4g32":
-        y = int4_matmul(flags, x2, params["weight"], params["weight_scale"])
+        fn = _int4_matmul_stacked if stacked else int4_matmul
+        y = fn(flags, x2, params["weight"], params["weight_scale"])
     else:
         raise NotImplementedError(f"quant_type {quant_type!r}")
 

@@ -470,6 +470,148 @@ def int4_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
 
 
 # ---------------------------------------------------------------------------
+# Layer-INDEXED forward kernels: weights stay STACKED (L, ...) in HBM and
+# the kernel's BlockSpec index maps address layer `idx` directly via a
+# scalar-prefetched index (the paged-attention idiom).  Purpose: under the
+# serving layer-scan, slicing the stacked weights in XLA materializes a
+# full per-layer copy as the Pallas custom-call operand — round-4 profiles
+# attribute ~4.1 ms of the 11.6 ms int4 decode step (35%) to those
+# dynamic-slice fusions.  The indexed kernels make the per-layer "slice"
+# free: blocks DMA straight from the stacked array.
+# ---------------------------------------------------------------------------
+
+
+def int4_matmul_pallas_idx(x, pstack, sstack, idx, *, bk_cap=2048,
+                           bn_cap=2048, scheme=None, interpret=None):
+    """x (M, K) @ dequant(pstack[idx], sstack[idx]) without slicing.
+
+    pstack (L, K/2, N) uint8, sstack (L, K/32, N), idx scalar int32.
+    Returns None when the shape is unsupported (caller slices + falls back).
+    """
+    bk_cap = _BK_CAP or bk_cap
+    bn_cap = _BN_CAP or bn_cap
+    scheme = _resolve_scheme(scheme)
+    if scheme == "selscale":
+        bk_cap = min(bk_cap, 1024)  # see int4_matmul_pallas
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K = x.shape
+    Lw, K2, N = pstack.shape
+    G = sstack.shape[1]
+    assert K == 2 * K2 and K == 32 * G, (K, K2, G)
+    bk = _pick_int4_bk(K, bk_cap)
+    bn = _largest_divisor(N, 128, bn_cap)
+    if bk is None or bn is None:
+        return None
+    bm = _block_m(M)
+    xp = _pad_rows(x, bm)
+    Mp = xp.shape[0]
+    inner = functools.partial(_int4_fwd_kernel, interpret=interpret,
+                              k_total=K, scheme=scheme)
+
+    def kern(idx_ref, x_ref, p_ref, s_ref, o_ref, acc_ref):
+        del idx_ref  # consumed by the index maps
+        inner(x_ref, p_ref.at[0], s_ref.at[0], o_ref, acc_ref)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda m, n, k, i: (m, k)),
+                pl.BlockSpec((1, bk // 2, bn), lambda m, n, k, i: (i[0], k, n)),
+                pl.BlockSpec((1, bk // 32, bn), lambda m, n, k, i: (i[0], k, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, i: (m, n)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xp, pstack, sstack)
+    return out[:M]
+
+
+def int8_matmul_pallas_idx(x, wstack, sstack, idx, *, bk_cap=2048,
+                           bn_cap=2048, scheme=None, interpret=None):
+    """x (M, K) @ (wstack[idx] ⊙ sstack[idx]) without slicing.
+
+    wstack (L, K, N) int8, sstack (L, N), idx scalar int32."""
+    from . import autotune as AT
+
+    tuned = AT.lookup("int8", _block_m(x.shape[0]), wstack.shape[1],
+                      wstack.shape[2]) or {}
+    bk_cap = _BK_CAP or tuned.get("bk") or bk_cap
+    bn_cap = _BN_CAP or tuned.get("bn") or bn_cap
+    scheme = _resolve_int8_scheme(scheme or tuned.get("scheme")) or "convert"
+    if scheme == "bt" and x.dtype != jnp.bfloat16:
+        scheme = "convert"
+    if scheme == "bt":
+        bk_cap = min(bk_cap, 1024)  # see int8_matmul_pallas
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K = x.shape
+    Lw, K2, N = wstack.shape
+    assert K == K2, (K, K2)
+    bk = _largest_divisor(K, 256, bk_cap) or _largest_divisor(K, 32, bk_cap)
+    bn = _largest_divisor(N, 128, bn_cap)
+    if bk is None or bn is None:
+        return None
+    bm = _block_m(M)
+    xp = _pad_rows(x, bm)
+    Mp = xp.shape[0]
+    s3 = sstack.reshape(Lw, 1, N)
+    inner = functools.partial(_int8_fwd_kernel, scheme=scheme,
+                              interpret=interpret)
+
+    def kern(idx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
+        del idx_ref
+        inner(x_ref, w_ref.at[0], s_ref.at[0], o_ref, acc_ref)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Mp // bm, N // bn, K // bk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda m, n, k, i: (m, k)),
+                pl.BlockSpec((1, bk, bn), lambda m, n, k, i: (i[0], k, n)),
+                pl.BlockSpec((1, 1, bn), lambda m, n, k, i: (i[0], 0, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, i: (m, n)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xp, wstack, s3)
+    return out[:M]
+
+
+def int4_matmul_auto_idx(x, pstack, sstack, idx, *, interpret=None):
+    """Indexed-dispatch twin of int4_matmul_auto.  The autotune table keys
+    match (same logical K/N); pipelined winners run their scheme/blocks on
+    the grid impl (measured near-equal; an indexed pipelined variant can
+    follow if a gap ever shows)."""
+    from . import autotune as AT
+
+    tuned = AT.lookup("int4", _block_m(x.shape[0]), 2 * pstack.shape[1],
+                      pstack.shape[2]) or {}
+    if tuned.get("scheme") == "bt_grouped" and not tuned.get("exact"):
+        tuned = {}  # see int4_matmul_auto
+    return int4_matmul_pallas_idx(
+        x, pstack, sstack, idx, bk_cap=tuned.get("bk") or 2048,
+        bn_cap=tuned.get("bn") or 2048, scheme=tuned.get("scheme"),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Transposed kernels (grad_x = g @ dequant(w).T), contraction over N
 # ---------------------------------------------------------------------------
 

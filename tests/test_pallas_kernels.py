@@ -254,6 +254,44 @@ def test_int4_pipelined_alt_schemes(scheme, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("scheme", ["broadcast", "grouped", "selscale"])
+def test_int4_idx_kernel_matches_sliced(scheme):
+    """Layer-indexed stacked kernel == slicing the stack then running the
+    plain kernel, for every layer index."""
+    L, k, n = 3, 512, 384
+    ps, ss = [], []
+    for l in range(L):
+        p, s = make_int4(k, n, 40 + l)
+        ps.append(p)
+        ss.append(s)
+    pstack, sstack = jnp.stack(ps), jnp.stack(ss)
+    x = rand((8, k), 44)
+    for l in range(L):
+        got = PM.int4_matmul_pallas_idx(x, pstack, sstack, jnp.int32(l),
+                                        scheme=scheme, interpret=INTERPRET)
+        assert got is not None
+        want = PM.int4_matmul_pallas(x, ps[l], ss[l], scheme=scheme,
+                                     interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_int8_idx_kernel_matches_sliced():
+    L, k, n = 3, 512, 384
+    rngs = np.random.RandomState(7)
+    wstack = jnp.asarray(rngs.randint(-127, 128, (L, k, n)), jnp.int8)
+    sstack = jnp.asarray(np.abs(rngs.randn(L, n)) * 0.02, jnp.float32)
+    x = rand((8, k), 45)
+    for l in range(L):
+        got = PM.int8_matmul_pallas_idx(x, wstack, sstack, jnp.int32(l),
+                                        interpret=INTERPRET)
+        assert got is not None
+        want = PM.int8_matmul_pallas(x, wstack[l], sstack[l],
+                                     interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("scheme", ["broadcast", "grouped", "bt_grouped"])
 def test_int4_pipelined_nonpow2_chunk(scheme, monkeypatch):
     """K not divisible by the 2048 chunk cap: the auto chunk picker must

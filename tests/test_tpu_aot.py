@@ -69,6 +69,21 @@ def test_int4_fwd_compiles(scheme, impl):
         ((K // 32, N), jnp.bfloat16))
 
 
+def test_indexed_kernels_compile():
+    """Layer-indexed stacked-weight kernels (scalar-prefetched layer id;
+    round 4): the serving scan's per-layer weight access must not
+    materialize XLA slice copies."""
+    L = 4
+    aot(lambda x, p, s, i: PM.int4_matmul_pallas_idx(x, p, s, i,
+                                                     interpret=False),
+        ((8, K), jnp.bfloat16), ((L, K // 2, N), jnp.uint8),
+        ((L, K // 32, N), jnp.bfloat16), ((), jnp.int32))
+    aot(lambda x, w, s, i: PM.int8_matmul_pallas_idx(x, w, s, i,
+                                                     interpret=False),
+        ((8, K), jnp.bfloat16), ((L, K, N), jnp.int8),
+        ((L, N), jnp.float32), ((), jnp.int32))
+
+
 def test_int4_fwd_compiles_lmhead_selscale():
     """The lm_head decode shape (N=65536) under selscale — the round-3 OOM
     shapes were exactly the big-N decode rows the sweep selects first."""
