@@ -361,6 +361,12 @@ def main():
     ensure_scheme_probe(config, quant_type)
     params = make_params(config, quant_type)
     wbytes = weight_bytes_per_token(params)
+    if os.environ.get("CHATGLM_Q_TPU_TILED") == "1":
+        # opt-in contiguous serving layout (models.tile_layer_weights):
+        # same bytes, same numerics, contiguous kernel block DMAs
+        params = M.tile_layer_weights(params, quant_type)
+        params = jax.block_until_ready(params)
+        _log("tiled serving layout applied")
 
     cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)
     prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, prefill_len), 0, 60000)

@@ -653,6 +653,30 @@ def stacked_layer_params(layers: dict, quant_type: str, rt):
     return small, make
 
 
+def tile_layer_weights(params: dict, quant_type: str, bn: int = 1024) -> dict:
+    """Opt-in serving-layout transform: pre-tile the stacked int4 linears'
+    columns (ops/quant.tile_int4_stack) so the layer-indexed kernels' block
+    DMAs are contiguous HBM spans instead of bn-byte-strided column slices
+    (~+9% decode bandwidth; docs/RESULTS.md round 4).  One-time, at load:
+    numerics identical; linears whose N doesn't tile (kv_proj at bn=1024)
+    keep the flat layout.  Checkpoints are unaffected — this is an
+    in-memory layout only."""
+    if quant_type != "int4g32":
+        return params
+    from ..ops.quant import tile_int4_stack
+
+    layers = dict(params["layers"])
+    for name in _STACKED_LINEARS:
+        leaf = dict(layers[name])
+        if getattr(leaf["weight"], "ndim", 0) != 3:
+            continue  # already tiled / not stacked
+        t = tile_int4_stack(leaf["weight"], leaf["weight_scale"], bn)
+        if t is not None:
+            leaf["weight"], leaf["weight_scale"] = t
+            layers[name] = leaf
+    return {**params, "layers": layers}
+
+
 def _layers_scan_serving(params, config, quant_type, rt, h, freqs_cis, mask5,
                          cache, start, slot_map=None):
     """Scan blocks over stacked layer params; the full KV cache rides the

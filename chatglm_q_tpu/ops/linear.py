@@ -170,7 +170,8 @@ int4_matmul.defvjp(_int4_matmul_fwd, _int4_matmul_bwd)
 
 
 def _int4_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
-    Ks = w.stack.shape[1] * 2
+    tiled = w.stack.ndim == 4  # (L, N/bn, K/2, bn) serving layout
+    Ks = (w.stack.shape[2] if tiled else w.stack.shape[1]) * 2
     if x.shape[1] < Ks:
         x = jnp.pad(x, ((0, 0), (0, Ks - x.shape[1])))
     if _use_pallas(flags):
@@ -179,6 +180,9 @@ def _int4_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
         out = PM.int4_matmul_auto_idx(x, w.stack, s.stack, w.idx)
         if out is not None:
             return out
+    if tiled:
+        p2, s2 = Q.untile_int4_stack_layer(w.stack, s.stack, w.idx)
+        return _int4_matmul_fallback(x, p2, s2)
     return _int4_matmul_fallback(x, w.stack[w.idx], s.stack[s.idx])
 
 

@@ -485,7 +485,12 @@ def int4_matmul_pallas_idx(x, pstack, sstack, idx, *, bk_cap=2048,
                            bn_cap=2048, scheme=None, interpret=None):
     """x (M, K) @ dequant(pstack[idx], sstack[idx]) without slicing.
 
-    pstack (L, K/2, N) uint8, sstack (L, K/32, N), idx scalar int32.
+    pstack (L, K/2, N) uint8, sstack (L, K/32, N), idx scalar int32 — OR
+    the pre-TILED layout pstack (L, N/bn, K/2, bn), sstack (L, N/bn,
+    K/32, bn) (ops/quant.tile_int4_stack): each weight block is then ONE
+    contiguous HBM span, recovering the ~9% the bn-strided column DMAs
+    lose (int4_dma_contig 16.09 vs 17.61 us, benchmarks/logs).  Tiled
+    layout fixes bn to the stored tile width.
     Returns None when the shape is unsupported (caller slices + falls back).
     """
     bk_cap = _BK_CAP or bk_cap
@@ -496,33 +501,57 @@ def int4_matmul_pallas_idx(x, pstack, sstack, idx, *, bk_cap=2048,
     if interpret is None:
         interpret = not _is_tpu()
     M, K = x.shape
-    Lw, K2, N = pstack.shape
-    G = sstack.shape[1]
+    tiled = pstack.ndim == 4
+    if tiled:
+        Lw, nb, K2, bn = pstack.shape
+        N = nb * bn
+        G = sstack.shape[2]
+    else:
+        Lw, K2, N = pstack.shape
+        G = sstack.shape[1]
     assert K == 2 * K2 and K == 32 * G, (K, K2, G)
     bk = _pick_int4_bk(K, bk_cap)
-    bn = _largest_divisor(N, 128, bn_cap)
-    if bk is None or bn is None:
+    if bk is None:
         return None
+    if not tiled:
+        bn = _largest_divisor(N, 128, bn_cap)
+        if bn is None:
+            return None
     bm = _block_m(M)
     xp = _pad_rows(x, bm)
     Mp = xp.shape[0]
     inner = functools.partial(_int4_fwd_kernel, interpret=interpret,
                               k_total=K, scheme=scheme)
 
-    def kern(idx_ref, x_ref, p_ref, s_ref, o_ref, acc_ref):
-        del idx_ref  # consumed by the index maps
-        inner(x_ref, p_ref.at[0], s_ref.at[0], o_ref, acc_ref)
+    if tiled:
+        def kern(idx_ref, x_ref, p_ref, s_ref, o_ref, acc_ref):
+            del idx_ref
+            inner(x_ref, p_ref.at[0, 0], s_ref.at[0, 0], o_ref, acc_ref)
+
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda m, n, k, i: (m, k)),
+            pl.BlockSpec((1, 1, bk // 2, bn),
+                         lambda m, n, k, i: (i[0], n, k, 0)),
+            pl.BlockSpec((1, 1, bk // 32, bn),
+                         lambda m, n, k, i: (i[0], n, k, 0)),
+        ]
+    else:
+        def kern(idx_ref, x_ref, p_ref, s_ref, o_ref, acc_ref):
+            del idx_ref  # consumed by the index maps
+            inner(x_ref, p_ref.at[0], s_ref.at[0], o_ref, acc_ref)
+
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda m, n, k, i: (m, k)),
+            pl.BlockSpec((1, bk // 2, bn), lambda m, n, k, i: (i[0], k, n)),
+            pl.BlockSpec((1, bk // 32, bn), lambda m, n, k, i: (i[0], k, n)),
+        ]
 
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
-            in_specs=[
-                pl.BlockSpec((bm, bk), lambda m, n, k, i: (m, k)),
-                pl.BlockSpec((1, bk // 2, bn), lambda m, n, k, i: (i[0], k, n)),
-                pl.BlockSpec((1, bk // 32, bn), lambda m, n, k, i: (i[0], k, n)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, i: (m, n)),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         ),
@@ -600,8 +629,11 @@ def int4_matmul_auto_idx(x, pstack, sstack, idx, *, interpret=None):
     follow if a gap ever shows)."""
     from . import autotune as AT
 
-    tuned = AT.lookup("int4", _block_m(x.shape[0]), 2 * pstack.shape[1],
-                      pstack.shape[2]) or {}
+    if pstack.ndim == 4:  # tiled serving layout (bn fixed by the layout)
+        K, N = 2 * pstack.shape[2], pstack.shape[1] * pstack.shape[3]
+    else:
+        K, N = 2 * pstack.shape[1], pstack.shape[2]
+    tuned = AT.lookup("int4", _block_m(x.shape[0]), K, N) or {}
     if tuned.get("scheme") == "bt_grouped" and not tuned.get("exact"):
         tuned = {}  # see int4_matmul_auto
     return int4_matmul_pallas_idx(

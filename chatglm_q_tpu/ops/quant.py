@@ -341,3 +341,31 @@ def embedding_lookup_int4(params: dict, ids, dtype=jnp.float32):
     bytes_ = packed[byte_idx].astype(jnp.int32)
     nib = ((bytes_ >> shifts[..., None]) & 0xF) - 0x8
     return nib.astype(dtype) * scale[group_idx].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Tiled serving layout (round 4): column-block the STACKED int4 weights so
+# every kernel block DMA is one contiguous HBM span.  The standard
+# (L, K/2, N) layout makes a (bk/2, bn) block a bn-byte-strided column
+# slice — measured at ~91% of achievable DMA rate at the decode shapes
+# (int4_dma_contig 16.09 vs 17.61 us).  Tiling fixes the kernel bn to the
+# stored tile width; numerics are identical (pure layout).
+# ---------------------------------------------------------------------------
+
+def tile_int4_stack(pstack, sstack, bn: int = 1024):
+    """(L, K/2, N), (L, G, N) → (L, N/bn, K/2, bn), (L, N/bn, G, bn);
+    None when N is not a multiple of bn (caller keeps the flat layout)."""
+    L, K2, N = pstack.shape
+    if N % bn or N < bn:
+        return None
+    p = pstack.reshape(L, K2, N // bn, bn).transpose(0, 2, 1, 3)
+    s = sstack.reshape(L, sstack.shape[1], N // bn, bn).transpose(0, 2, 1, 3)
+    return p, s
+
+
+def untile_int4_stack_layer(p4, s4, idx):
+    """One layer of the tiled layout back to (K/2, N), (G, N) — the
+    non-Pallas fallback path."""
+    p = p4[idx].transpose(1, 0, 2).reshape(p4.shape[2], -1)
+    s = s4[idx].transpose(1, 0, 2).reshape(s4.shape[2], -1)
+    return p, s

@@ -276,6 +276,37 @@ def test_int4_idx_kernel_matches_sliced(scheme):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("scheme", ["broadcast", "grouped"])
+def test_int4_idx_tiled_matches_flat(scheme):
+    """The tiled serving layout (contiguous column blocks) must match the
+    flat stacked layout bit-for-bit through the indexed kernel, and the
+    untile fallback must reproduce the original arrays."""
+    from chatglm_q_tpu.ops.quant import tile_int4_stack, untile_int4_stack_layer
+
+    L, k, n, bn = 2, 512, 512, 256
+    ps, ss = [], []
+    for l in range(L):
+        p, s = make_int4(k, n, 50 + l)
+        ps.append(p)
+        ss.append(s)
+    pstack, sstack = jnp.stack(ps), jnp.stack(ss)
+    p4, s4 = tile_int4_stack(pstack, sstack, bn)
+    for l in range(L):
+        pu, su = untile_int4_stack_layer(p4, s4, l)
+        np.testing.assert_array_equal(np.asarray(pu), np.asarray(ps[l]))
+        np.testing.assert_array_equal(np.asarray(su), np.asarray(ss[l]))
+    x = rand((8, k), 55)
+    for l in range(L):
+        got = PM.int4_matmul_pallas_idx(x, p4, s4, jnp.int32(l),
+                                        scheme=scheme, interpret=INTERPRET)
+        assert got is not None
+        want = PM.int4_matmul_pallas_idx(x, pstack, sstack, jnp.int32(l),
+                                         scheme=scheme, bn_cap=bn,
+                                         interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_int8_idx_kernel_matches_sliced():
     L, k, n = 3, 512, 384
     rngs = np.random.RandomState(7)

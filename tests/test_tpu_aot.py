@@ -82,6 +82,11 @@ def test_indexed_kernels_compile():
                                                      interpret=False),
         ((8, K), jnp.bfloat16), ((L, K, N), jnp.int8),
         ((L, N), jnp.float32), ((), jnp.int32))
+    # tiled serving layout: contiguous column blocks
+    aot(lambda x, p, s, i: PM.int4_matmul_pallas_idx(x, p, s, i,
+                                                     interpret=False),
+        ((8, K), jnp.bfloat16), ((L, N // 1024, K // 2, 1024), jnp.uint8),
+        ((L, N // 1024, K // 32, 1024), jnp.bfloat16), ((), jnp.int32))
 
 
 def test_int4_fwd_compiles_lmhead_selscale():
