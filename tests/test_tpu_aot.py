@@ -31,9 +31,16 @@ from chatglm_q_tpu.ops import pallas_matmul as PM
 
 
 def _topology_sharding():
+    import os
+
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    # libtpu refuses to load in >1 process at once (/tmp/libtpu_lockfile),
+    # so under pytest-xdist 3 of 4 workers would get SH=None and this whole
+    # gate SILENTLY skips.  AOT compilation touches no device, so multiple
+    # loads are safe here; measured: all 4 concurrent workers then pass.
+    os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_LOAD", "1")
     topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
     mesh = Mesh(np.array(topo.devices[:1]).reshape(1,), ("x",))
     return NamedSharding(mesh, P())
