@@ -263,10 +263,13 @@ def make_decode_n(config: ChatGLM2Config, quant_type: str, rt: TpuRuntimeConfig)
 
     @partial(jax.jit, static_argnames="n", donate_argnums=(2,))
     def decode_n(p, first, cache, n):
-        toks, _ = M.multi_step_decode(
+        toks, cache = M.multi_step_decode(
             p, config, first, cache, n, None, quant_type, jnp.bfloat16, rt
         )
-        return toks.sum()  # scalar to force
+        # the final cache must be an OUTPUT for the donation to be usable —
+        # dropping it made XLA copy the donated KV buffers instead of
+        # aliasing them ("donated buffers were not usable", BENCH_r04 tail)
+        return toks.sum(), cache  # scalar forces; cache aliases the donation
 
     return decode_n
 
@@ -383,7 +386,8 @@ def main():
 
     def run_n(n):
         c = jax.tree.map(lambda x: x.copy(), cache0)
-        return force(decode_n(params, first, c, n))
+        s, _ = decode_n(params, first, c, n)
+        return force(s)
 
     per_tok = slope_time(run_n, 8, 40)
     _log(f"decode timed: {per_tok*1e3:.2f} ms/tok")

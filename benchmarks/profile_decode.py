@@ -56,13 +56,14 @@ def capture(trace_dir: str, steps: int, quant_type: str, batch: int):
     def decode_n(p, tok, cache, n):
         toks, cache = M.multi_step_decode(p, config, tok, cache, n, None,
                                           quant_type, jnp.bfloat16, rt)
-        return toks.sum()
+        # cache must be an output for the donation to alias (see bench.py)
+        return toks.sum(), cache
 
     force(decode_n(params, first, jax.tree.map(lambda x: x.copy(), cache),
-                   steps))  # compile + warm OUTSIDE the trace
+                   steps)[0])  # compile + warm OUTSIDE the trace
     print("warm; tracing", flush=True)
     jax.profiler.start_trace(trace_dir, create_perfetto_trace=True)
-    force(decode_n(params, first, cache, steps))
+    force(decode_n(params, first, cache, steps)[0])
     jax.profiler.stop_trace()
     print("trace captured", flush=True)
 

@@ -7,6 +7,8 @@ L=benchmarks/logs
 # session resets drop the editable install; scripts run as files need it
 python -c "import chatglm_q_tpu" 2>/dev/null \
   || pip install -e . --no-build-isolation --no-deps -q
+python -c "import chatglm_q_tpu" \
+  || { echo "editable install failed"; exit 1; }
 timeout 150 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
   || { echo "device not answering"; exit 1; }
 step() {

@@ -327,8 +327,12 @@ def quantize_embedding_int4(w_vh) -> dict:
 
 
 def embedding_lookup_int8(params: dict, ids, dtype=jnp.float32):
-    w = params["weight"].astype(dtype) * params["weight_scale"].astype(dtype)
-    return w[ids]
+    """Gather first, then dequantize only the gathered rows — per-token, like
+    int8/qlinear.py:110-120 (QEmbedding).  Scaling the whole table before the
+    gather would materialize a (V, H) bf16 intermediate (~0.5 GB at 6B)
+    unless XLA happens to fuse the multiply into the gather."""
+    rows = params["weight"][ids].astype(dtype)
+    return rows * params["weight_scale"].astype(dtype)
 
 
 def embedding_lookup_int4(params: dict, ids, dtype=jnp.float32):

@@ -80,19 +80,30 @@ def gptq_quantize_model(
             {"h": h, "freqs": table[pos], "mask5": mask_bias[:, None, None, :, :]}
         )
 
-    def quant_params(w_kn, hessian, bias, pad_n=False):
+    def quant_params(w_kn, hessian, bias, pad_n=False, debug_input=None,
+                     tag=""):
         Kh = hessian.shape[0]
         if w_kn.shape[0] < Kh:
             # upstream activations are storage-K padded (w_in N padding);
             # pad the float weight rows — GPTQ's dead-column handling zeroes
             # them and they quantize to exact 0
             w_kn = jnp.pad(w_kn, ((0, Kh - w_kn.shape[0]), (0, 0)))
+        dbg = debug_input if print_loss else None
         if quant_type == "int8":
-            p = G.gptq_linear_params_int8(w_kn, hessian, bias, blocksize, percdamp)
+            out = G.gptq_linear_params_int8(w_kn, hessian, bias, blocksize,
+                                            percdamp, debug_input=dbg)
         else:
-            p = G.gptq_linear_params_int4(
-                w_kn, hessian, bias, blocksize, groupsize, percdamp
-            )
+            out = G.gptq_linear_params_int4(w_kn, hessian, bias, blocksize,
+                                            groupsize, percdamp,
+                                            debug_input=dbg)
+        if dbg is not None:
+            # the reference's pring_loss line per linear
+            # (int8/quantizer.py:152-156): quant loss from the sweep, debug
+            # MSE on the last calibration batch's activations
+            p, quant_losses, debug_loss = out
+            print(f"{tag}: {quant_losses=:.8f} {debug_loss=:.8f}", flush=True)
+        else:
+            p = out
         if pad_n:
             p = Q.pad_linear_n(p, quant_type)
         return p
@@ -108,6 +119,7 @@ def gptq_quantize_model(
     for i in range(L):
         lp = jax.tree.map(lambda x: x[i], params["layers"])
         hes = {}
+        dbg = {}  # last batch's tap per linear = the reference debug_input
         outs = []
         for b in prepared:
             out, _, taps = tap_block(lp, b["h"], b["freqs"], b["mask5"])
@@ -116,6 +128,7 @@ def gptq_quantize_model(
                 if name not in hes:
                     hes[name] = G.init_hessian(x.shape[-1])
                 hes[name] = G.accumulate_hessian(*hes[name], x)
+                dbg[name] = x
         for b, out in zip(prepared, outs):
             b["h"] = out  # float-block outputs feed the next layer (:67-75)
 
@@ -123,34 +136,39 @@ def gptq_quantize_model(
             "attn_ln": lp["attn_ln"],
             "ffn_ln": lp["ffn_ln"],
             "q_proj": quant_params(
-                lp["q_proj"]["weight"], hes["qkv_in"][0], lp["q_proj"].get("bias")
+                lp["q_proj"]["weight"], hes["qkv_in"][0], lp["q_proj"].get("bias"),
+                debug_input=dbg["qkv_in"], tag=f"layer {i} q_proj",
             ),
             "kv_proj": quant_params(
-                lp["kv_proj"]["weight"], hes["qkv_in"][0], lp["kv_proj"].get("bias")
+                lp["kv_proj"]["weight"], hes["qkv_in"][0], lp["kv_proj"].get("bias"),
+                debug_input=dbg["qkv_in"], tag=f"layer {i} kv_proj",
             ),
             "o_proj": quant_params(
-                lp["o_proj"]["weight"], hes["o_in"][0], lp["o_proj"].get("bias")
+                lp["o_proj"]["weight"], hes["o_in"][0], lp["o_proj"].get("bias"),
+                debug_input=dbg["o_in"], tag=f"layer {i} o_proj",
             ),
             "w_in_h": quant_params(
                 lp["w_in_h"]["weight"], hes["w_in_in"][0], lp["w_in_h"].get("bias"),
-                pad_n=True,
+                pad_n=True, debug_input=dbg["w_in_in"],
+                tag=f"layer {i} w_in_h",
             ),
             "w_in_gate": quant_params(
                 lp["w_in_gate"]["weight"], hes["w_in_in"][0],
                 lp["w_in_gate"].get("bias"), pad_n=True,
+                debug_input=dbg["w_in_in"], tag=f"layer {i} w_in_gate",
             ),
             "w_out": quant_params(
-                lp["w_out"]["weight"], hes["w_out_in"][0], lp["w_out"].get("bias")
+                lp["w_out"]["weight"], hes["w_out_in"][0], lp["w_out"].get("bias"),
+                debug_input=dbg["w_out_in"], tag=f"layer {i} w_out",
             ),
         }
         new_layers.append(ql)
-        if print_loss:
-            print(f"layer {i}: quantized ({quant_type})")
 
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers)
 
     # 4. lm_head on final_ln outputs (:91-100)
     Hh, n = G.init_hessian(config.hidden_size)
+    final = None
     for b in prepared:
         final = M.rms_norm(
             b["h"], params["final_ln"]["weight"], config.layernorm_epsilon
@@ -158,7 +176,8 @@ def gptq_quantize_model(
         Hh, n = G.accumulate_hessian(Hh, n, final)
     lm_head = Q.lmhead_pad(
         quant_params(params["lm_head"]["weight"], Hh,
-                     params["lm_head"].get("bias")),
+                     params["lm_head"].get("bias"),
+                     debug_input=final, tag="lm_head"),
         quant_type,
     )
 

@@ -145,7 +145,7 @@ def _sweep_int4(weight_nk, hinv_u, blocksize=128, groupsize=32):
     assert blocksize % groupsize == 0 and K % groupsize == 0
 
     def col_body(j, state):
-        wblk, qblk, eblk, scale_cur, scales_blk, hblk = state
+        wblk, qblk, eblk, lblk, scale_cur, scales_blk, hblk = state
 
         def new_scale(_):
             blk = jax.lax.dynamic_slice(wblk, (0, j), (N, groupsize))
@@ -168,15 +168,18 @@ def _sweep_int4(weight_nk, hinv_u, blocksize=128, groupsize=32):
         qv = jnp.clip(jnp.round(w / scale_cur), -Q.MAX_Q_INT4, Q.MAX_Q_INT4)
         qd = scale_cur * qv
         err = (w - qd) / d
+        loss = (w - qd) ** 2 / d**2  # int4/quantizer.py:163
         row = jax.lax.dynamic_slice(hblk, (j, 0), (1, hblk.shape[1]))[0]
         mask = jnp.arange(hblk.shape[1]) >= j
         wblk = wblk - jnp.where(mask[None, :], err[:, None] * row[None, :], 0.0)
         qblk = jax.lax.dynamic_update_slice(qblk, qd[:, None], (0, j))
         eblk = jax.lax.dynamic_update_slice(eblk, err[:, None], (0, j))
-        return wblk, qblk, eblk, scale_cur, scales_blk, hblk
+        lblk = jax.lax.dynamic_update_slice(lblk, loss[:, None], (0, j))
+        return wblk, qblk, eblk, lblk, scale_cur, scales_blk, hblk
 
     weight = weight_nk.astype(jnp.float32)
     grid = jnp.zeros_like(weight)
+    losses = jnp.zeros_like(weight)
     all_scales = []
     for i1 in range(0, K, blocksize):
         i2 = min(i1 + blocksize, K)
@@ -185,14 +188,18 @@ def _sweep_int4(weight_nk, hinv_u, blocksize=128, groupsize=32):
         hblk = hinv_u[i1:i2, i1:i2]
         qblk = jnp.zeros_like(wblk)
         eblk = jnp.zeros_like(wblk)
+        lblk = jnp.zeros_like(wblk)
         scales_blk = jnp.zeros((bs // groupsize, N), jnp.float32)
-        state = (wblk, qblk, eblk, jnp.ones((N,), jnp.float32), scales_blk, hblk)
-        wblk, qblk, eblk, _, scales_blk, _ = jax.lax.fori_loop(0, bs, col_body, state)
+        state = (wblk, qblk, eblk, lblk, jnp.ones((N,), jnp.float32),
+                 scales_blk, hblk)
+        wblk, qblk, eblk, lblk, _, scales_blk, _ = jax.lax.fori_loop(
+            0, bs, col_body, state)
         grid = grid.at[:, i1:i2].set(qblk)
+        losses = losses.at[:, i1:i2].set(lblk / 2)
         all_scales.append(scales_blk)
         weight = weight.at[:, i2:].add(-(eblk @ hinv_u[i1:i2, i2:]))
     scales = jnp.concatenate(all_scales, axis=0)  # (K/groupsize, N)
-    return grid, scales
+    return grid, scales, losses
 
 
 # ---------------------------------------------------------------------------
@@ -221,12 +228,22 @@ def gptq_quantize_int8(weight_nk, hessian, blocksize=128, percdamp=0.01):
 
 
 def gptq_quantize_int4(weight_nk, hessian, blocksize=128, groupsize=32, percdamp=0.01):
-    """Returns (grid_weight (N, K) f32, scales (K/groupsize, N), 0.0) —
-    reference int4/quantizer.py:117-181."""
+    """Returns (grid_weight (N, K) f32, scales (K/groupsize, N), mean quant
+    loss) — reference int4/quantizer.py:117-181 (losses at :163/:170)."""
     hessian, weight_nk, hinv_u = _prepare_hinv(hessian, weight_nk, percdamp)
     _check_hinv(hinv_u)
-    grid, scales = _sweep_int4(weight_nk, hinv_u, blocksize, groupsize)
-    return grid, scales, 0.0
+    grid, scales, losses = _sweep_int4(weight_nk, hinv_u, blocksize, groupsize)
+    return grid, scales, float(jnp.mean(losses))
+
+
+def debug_mse(debug_input, weight_nk, grid_nk) -> float:
+    """The reference's ``debug_loss`` (int8/quantizer.py:144-146): MSE between
+    the float layer's output and the grid weight's output on the last
+    calibration activations."""
+    x = debug_input.reshape(-1, debug_input.shape[-1]).astype(jnp.float32)
+    ref = x @ weight_nk.astype(jnp.float32).T
+    got = x @ grid_nk.T
+    return float(jnp.mean((got - ref) ** 2))
 
 
 def _naive_scale_int8(weight_nk):
@@ -237,26 +254,34 @@ def _naive_scale_int8(weight_nk):
     return q, scale
 
 
-def gptq_linear_params_int8(w_kn, hessian, bias=None, blocksize=128, percdamp=0.01):
+def gptq_linear_params_int8(w_kn, hessian, bias=None, blocksize=128,
+                            percdamp=0.01, debug_input=None):
     """K-major in-memory int8 param dict from GPTQ (reference
-    int8/quantizer.py:151-164)."""
-    grid, scale, _ = gptq_quantize_int8(w_kn.T, hessian, blocksize, percdamp)
+    int8/quantizer.py:151-164).  With ``debug_input`` returns
+    ``(params, quant_loss, debug_loss)`` — the reference's ``pring_loss``
+    diagnostics (int8/quantizer.py:152-156)."""
+    grid, scale, quant_loss = gptq_quantize_int8(w_kn.T, hessian, blocksize, percdamp)
     q = jnp.clip(jnp.round(grid / scale[:, None]), -127, 127).astype(jnp.int8)
     p = {"weight": Q.pad_int8_weight(q.T), "weight_scale": scale}
     if bias is not None:
         p["bias"] = bias
-    return p
+    if debug_input is None:
+        return p
+    return p, quant_loss, debug_mse(debug_input, w_kn.T, grid)
 
 
 def gptq_linear_params_int4(w_kn, hessian, bias=None, blocksize=128,
-                            groupsize=32, percdamp=0.01):
+                            groupsize=32, percdamp=0.01, debug_input=None):
     """K-major in-memory int4g32 param dict from GPTQ (reference
-    int4/quantizer.py:183-196)."""
-    grid, scales, _ = gptq_quantize_int4(w_kn.T, hessian, blocksize, groupsize, percdamp)
+    int4/quantizer.py:183-196).  With ``debug_input`` returns
+    ``(params, quant_loss, debug_loss)`` (int4/quantizer.py:184-188)."""
+    grid, scales, quant_loss = gptq_quantize_int4(w_kn.T, hessian, blocksize, groupsize, percdamp)
     # quantize_with_scale on the (K, N) transpose (int4/quantizer.py:193)
     qgrid = Q.quantize_with_scale_int4(grid.T, scales)
-    packed, scales = Q.pad_packed_int4(Q.pack_int4_tpu(qgrid), scales)
-    p = {"weight": packed, "weight_scale": scales.astype(Q.SCALE_DTYPE)}
+    packed, scales_p = Q.pad_packed_int4(Q.pack_int4_tpu(qgrid), scales)
+    p = {"weight": packed, "weight_scale": scales_p.astype(Q.SCALE_DTYPE)}
     if bias is not None:
         p["bias"] = bias
-    return p
+    if debug_input is None:
+        return p
+    return p, quant_loss, debug_mse(debug_input, w_kn.T, grid)

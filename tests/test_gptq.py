@@ -37,10 +37,11 @@ def run_reference(kind, W, X, groupsize=32):
             layer(xb)
     gq.remove_hook()
     if kind == "int8":
-        grid, scale, *_ = gq.quantize_weight(blocksize=32)
+        grid, scale, quant_losses, debug_loss = gq.quantize_weight(blocksize=32)
     else:
-        grid, scale, *_ = gq.quantize_weight(blocksize=32, groupsize=groupsize)
-    return grid.numpy(), scale.numpy()
+        grid, scale, quant_losses, debug_loss = gq.quantize_weight(
+            blocksize=32, groupsize=groupsize)
+    return grid.numpy(), scale.numpy(), quant_losses, debug_loss
 
 
 def test_hessian_accumulation_matches_reference():
@@ -71,18 +72,26 @@ def test_gptq_grid_matches_reference(kind):
     W = torch.randn(N, K)
     X = make_calib(64, K, 2)
 
-    grid_ref, scale_ref = run_reference(kind, W, X)
+    grid_ref, scale_ref, loss_ref, debug_loss_ref = run_reference(kind, W, X)
 
     H, n = G.init_hessian(K)
     for xb in X.split(8):
         H, n = G.accumulate_hessian(H, n, jnp.asarray(xb.numpy()))
 
     if kind == "int8":
-        grid, scale, _ = G.gptq_quantize_int8(jnp.asarray(W.numpy()), H, blocksize=32)
+        grid, scale, loss = G.gptq_quantize_int8(jnp.asarray(W.numpy()), H, blocksize=32)
         np.testing.assert_allclose(np.asarray(scale), scale_ref, rtol=1e-5)
     else:
-        grid, scale, _ = G.gptq_quantize_int4(jnp.asarray(W.numpy()), H, blocksize=32)
+        grid, scale, loss = G.gptq_quantize_int4(jnp.asarray(W.numpy()), H, blocksize=32)
         np.testing.assert_allclose(np.asarray(scale), scale_ref, rtol=1e-3, atol=1e-6)
+
+    # per-layer loss diagnostics must match the reference's quant_losses
+    # (int8/quantizer.py:147, int4/quantizer.py:178) and debug_loss (:144-146)
+    assert loss > 0.0
+    np.testing.assert_allclose(loss, loss_ref, rtol=2e-2)
+    debug_loss = G.debug_mse(jnp.asarray(X[-8:].numpy()),
+                             jnp.asarray(W.numpy()), grid)
+    np.testing.assert_allclose(debug_loss, debug_loss_ref, rtol=2e-2)
 
     # dequantized grids close everywhere; integer grid points nearly all
     # identical (ulp-level scale drift in the in-sweep rescale can move a
@@ -140,6 +149,68 @@ def test_gptq_param_dict_roundtrip():
     assert p8["weight"].shape == (K, N)
     deq8 = p8["weight"].astype(jnp.float32) * p8["weight_scale"]
     assert float(jnp.mean((deq8 - w_kn) ** 2)) < 0.01
+
+
+def test_pipeline_prints_per_layer_losses_and_gptq_beats_rtn(capsys):
+    """print_loss must emit the reference's per-linear diagnostics line
+    (int8/quantizer.py:152-156 pring_loss) for every linear of every layer,
+    and each linear's GPTQ debug MSE must beat naive RTN on the same
+    activations (the reason the diagnostics exist: a mis-swept layer shows
+    up as a loss spike)."""
+    import jax.numpy as jnp2
+    from chatglm_q_tpu.config import ChatGLM2Config
+    from chatglm_q_tpu.models import chatglm2 as M
+    from chatglm_q_tpu.quant.calibrate import gptq_quantize_model
+
+    cfg = ChatGLM2Config(
+        hidden_size=64, inner_hidden_size=128, head_hidden_size=16,
+        num_multi_query_groups=2, num_attention_heads=4, num_layers=2,
+        vocab_size=128, max_sequence_length=64)
+    params = M.init_params(jax.random.PRNGKey(3), cfg, quant_type="none",
+                           dtype=jnp2.float32)
+    # correlated tokens so the Hessians are informative
+    key = jax.random.PRNGKey(4)
+    batches = [(jax.random.randint(k, (2, 16), 0, 128), None)
+               for k in jax.random.split(key, 3)]
+    gptq_quantize_model(params, cfg, batches, "int4g32", blocksize=32,
+                        print_loss=True)
+
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if "quant_losses=" in l]
+    # 6 linears × 2 layers + lm_head
+    assert len(lines) == 13, lines
+    import re
+    for l in lines:
+        m = re.search(r"quant_losses=([0-9.e+-]+) debug_loss=([0-9.e+-]+)", l)
+        assert m, l
+        ql, dl = float(m.group(1)), float(m.group(2))
+        assert np.isfinite(ql) and np.isfinite(dl) and ql >= 0 and dl >= 0, l
+    assert any(l.startswith("lm_head:") for l in lines)
+    assert any(l.startswith("layer 1 w_out:") for l in lines)
+
+
+def test_gptq_loss_below_rtn_per_linear():
+    """VERDICT r4 #4 done-criterion: GPTQ debug MSE < naive-RTN MSE for each
+    linear, measured with a real (correlated-input) Hessian."""
+    key = jax.random.PRNGKey(0)
+    shapes = [(48, 64), (64, 96), (96, 64)]  # (N, K) per "layer"
+    S = 256
+    for i, (N, K) in enumerate(shapes):
+        W = jax.random.normal(jax.random.fold_in(key, i), (N, K))
+        base = jax.random.normal(jax.random.fold_in(key, 100 + i), (S, K // 4))
+        mix = jax.random.normal(jax.random.fold_in(key, 200 + i), (K // 4, K))
+        X = base @ mix + 0.1 * jax.random.normal(
+            jax.random.fold_in(key, 300 + i), (S, K))
+        H, n = G.init_hessian(K)
+        H, n = G.accumulate_hessian(H, n, X)
+        grid, scales, loss = G.gptq_quantize_int4(W, H, blocksize=32)
+        assert loss > 0.0
+
+        q_rtn, s_rtn = Q.rtn_quantize_int4(W.T)
+        rtn_deq = Q.unpack_int4_tpu(Q.pack_int4_tpu(q_rtn), s_rtn).T
+        err_gptq = G.debug_mse(X, W, grid)
+        err_rtn = G.debug_mse(X, W, rtn_deq.astype(jnp.float32))
+        assert err_gptq < err_rtn, (i, err_gptq, err_rtn)
 
 
 def test_model_level_gptq_pipeline_parity():
