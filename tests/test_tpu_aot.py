@@ -224,16 +224,17 @@ def test_full_decode_step_compiles(monkeypatch):
     ).lower(params, ids, cache).compile()
 
 
-def test_multichip_sharded_decode_compiles():
+@functools.lru_cache(maxsize=1)
+def _pod_decode_hlo() -> str:
     """GSPMD-compile the TP+DP sharded decode step for REAL v5e hardware
-    over a (data=2, model=2) topology mesh — validates the sharded program
-    (ICI collectives, layouts) beyond what the virtual CPU mesh can."""
+    over a (data=2, model=2) topology mesh; returns the optimized (post-
+    scheduling) HLO text.  Cached: the compile gate and the collective-
+    schedule assertions share one compile."""
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from chatglm_q_tpu.config import ChatGLM2Config, TpuRuntimeConfig
     from chatglm_q_tpu.models import chatglm2 as M
-    from chatglm_q_tpu.models.chatglm2 import KVCache
     from chatglm_q_tpu.parallel import sharding as S
 
     topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
@@ -263,9 +264,16 @@ def test_multichip_sharded_decode_compiles():
     ids = jax.ShapeDtypeStruct((2,), jnp.int32,
                                sharding=NamedSharding(mesh, P(S.DATA_AXIS)))
     with mesh:
-        jax.jit(
+        compiled = jax.jit(
             lambda p, i, c: M.decode_step(p, cfg, i, c, qt, jnp.float32, rt)
         ).lower(params, ids, kv).compile()
+    return compiled.as_text()
+
+
+def test_multichip_sharded_decode_compiles():
+    """The (2,2) TP+DP decode step GSPMD-compiles (ICI collectives,
+    layouts) — beyond what the virtual CPU mesh can validate."""
+    assert len(_pod_decode_hlo()) > 0
 
 
 def test_attention_kernels_compile_8k():
@@ -352,11 +360,11 @@ def test_sharded_attention_kernels_compile():
                         q, kp, vp, li, pt, lp).compile()
 
 
-def test_pod8_train_step_compiles():
+@functools.lru_cache(maxsize=1)
+def _pod_train_hlo() -> str:
     """8-device (2, 4) v5e pod: the FULL training step — loss + grads
-    through the quantized layers + optax update — GSPMD-compiles with the
-    real dp/tp param layout (BASELINE configs 4-5 are unmeasurable without
-    hardware, but they must stay compile-proven at pod shapes)."""
+    through the quantized layers + optax update — GSPMD-compiled with the
+    real dp/tp param layout; returns the optimized HLO text (cached)."""
     import optax
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -409,7 +417,90 @@ def test_pod8_train_step_compiles():
 
     step = make_train_step(cfg, qt, optimizer, jnp.float32, rt)
     with mesh:
-        jax.jit(step).lower(trainable, frozen, opt_state, ids, labels).compile()
+        compiled = jax.jit(step).lower(trainable, frozen, opt_state, ids,
+                                       labels).compile()
+    return compiled.as_text()
+
+
+def test_pod8_train_step_compiles():
+    """BASELINE configs 4-5 are unmeasurable without multi-chip hardware,
+    but the training step must stay compile-proven at pod shapes."""
+    assert len(_pod_train_hlo()) > 0
+
+
+def _collective_schedule_report(txt: str):
+    """Parse post-scheduling HLO: per computation, match async collective
+    start/done pairs and count real compute (fusion/dot/convolution)
+    scheduled between them; also count blocking (sync) collectives."""
+    import re
+
+    pairs = []
+    for comp in txt.split("\n\n"):
+        lines = comp.splitlines()
+        starts = {}
+        for i, l in enumerate(lines):
+            m = re.match(
+                r"\s*%(\S+?) = .*"
+                r"(collective-permute|all-gather|all-reduce)-start\(", l)
+            if m:
+                starts[m.group(1)] = (i, m.group(2))
+            m2 = re.search(
+                r"(?:collective-permute|all-gather|all-reduce)-done"
+                r"\(%(\S+?)\)", l)
+            if m2 and m2.group(1) in starts:
+                j, kind = starts[m2.group(1)]
+                ncomp = sum(
+                    1 for b in lines[j + 1: i]
+                    if re.search(r"= .*(fusion|dot|convolution)\(", b))
+                pairs.append({"name": m2.group(1), "kind": kind,
+                              "gap": i - j - 1, "compute_between": ncomp})
+    sync = {
+        kind: len(re.findall(kind + r"\(", txt))
+        for kind in ("collective-permute", "all-gather", "reduce-scatter")
+    }
+    sync["all-reduce"] = len(re.findall(r"(?<!-)all-reduce\(", txt))
+    n_start = len(re.findall(r"-start\(", txt))
+    return pairs, sync, n_start
+
+
+def test_pod_collectives_async_and_overlapped():
+    """Comms-overlap evidence from the compiled pod programs (VERDICT r4
+    next #6): in both the (2,2) TP+DP decode step and the (2,4) train step,
+    the ICI transfers that CAN overlap (the kv/ring collective-permutes —
+    no immediate data dependence) must be scheduled as async start/done
+    pairs with real compute between them (latency-hiding scheduler
+    engaged), and must never appear in blocking (sync) form.
+
+    The TP activation psums (all-reduce after o_proj/w_out partial dots)
+    legitimately remain sync: their results feed the residual add
+    immediately — a data dependence, not a scheduling failure.  The
+    assertion on them is that each carries an ICI ring
+    collective_algorithm_config (the v5e ring emitter is engaged)."""
+    import re
+
+    for name, txt in (("decode", _pod_decode_hlo()),
+                      ("train", _pod_train_hlo())):
+        pairs, sync, n_start = _collective_schedule_report(txt)
+        # 1. async pairs exist, and blocking collective-permutes do not
+        assert n_start > 0, f"{name}: no async collectives at all"
+        assert sync["collective-permute"] == 0, \
+            f"{name}: blocking collective-permute present"
+        assert sync["all-gather"] == 0, f"{name}: blocking all-gather"
+        # 2. the scheduler filled the transfer latency with compute:
+        #    every matched pair has compute between start and done, and at
+        #    least one pair hides a substantial block (>= 5 fused ops)
+        assert len(pairs) >= 2, f"{name}: matched pairs: {pairs}"
+        overlapped = [p for p in pairs if p["compute_between"] > 0]
+        assert len(overlapped) == len(pairs), f"{name}: unfilled: {pairs}"
+        assert max(p["compute_between"] for p in pairs) >= 5, \
+            f"{name}: only trivial overlap: {pairs}"
+        # 3. sync all-reduces (TP activation psums) all run the ICI ring
+        #    emitter and sit on a dot/reduce critical path
+        for m in re.finditer(r"%all-reduce[^(]*? = [^\n]*", txt):
+            line = m.group(0)
+            if "-start" in line or "-done" in line:
+                continue
+            assert "collective_algorithm_config" in line, line[:200]
 
 
 def test_pod8_msharded_paged_decode_compiles():
