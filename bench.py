@@ -283,6 +283,41 @@ def make_params(config: ChatGLM2Config, quant_type: str, seed: int = 0):
     return params
 
 
+def make_echo_params(config: ChatGLM2Config, seed: int = 0):
+    """int4g32 params at full 6B shapes whose GREEDY continuation echoes the
+    last input token — real acceptance for speculative decoding without real
+    weights (VERDICT r4 next #7).
+
+    Construction: layer linear scales are ~0, so the residual stream
+    preserves the token embedding; lm_head is the int4 quantization of the
+    embedding matrix transposed, so logits = h·Eᵀ peak at the current token
+    (random 4096-dim embeddings are near-orthogonal: self-dot ≈ H·E[q²] vs
+    cross-term std ≈ E[q²]·√H, a ~64× margin).  Same shapes/dtypes/kernel
+    dispatch as make_params — per-step cost is data-independent, so the
+    speculation speedup measured on this model is the real kernel-level
+    speedup at genuine acceptance rates."""
+    from chatglm_q_tpu.ops import quant as Q
+
+    params = make_params(config, "int4g32", seed)
+    layers = dict(params["layers"])
+    for name in ("q_proj", "kv_proj", "o_proj", "w_in_h", "w_in_gate",
+                 "w_out"):
+        p = dict(layers[name])
+        p["weight_scale"] = jnp.full_like(p["weight_scale"], 1e-7)
+        layers[name] = p
+
+    @jax.jit
+    def build(key):
+        E = jax.random.normal(
+            key, (config.vocab_size, config.hidden_size), jnp.float32) * 0.02
+        return Q.quantize_embedding_int4(E), Q.quantize_linear_int4(E.T)
+
+    emb, lm = build(jax.random.PRNGKey(seed + 101))
+    lm = Q.lmhead_pad(lm, "int4g32")
+    out = {**params, "layers": layers, "word_embedding": emb, "lm_head": lm}
+    return jax.block_until_ready(out)
+
+
 def weight_bytes_per_token(params) -> int:
     """HBM bytes every decode step must stream: all layer + lm_head weights."""
     total = 0

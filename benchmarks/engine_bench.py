@@ -18,7 +18,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import numpy as np
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import make_params
+from bench import make_params, make_echo_params
 from chatglm_q_tpu.config import ChatGLM2Config, GLMLoadConfig, TpuRuntimeConfig
 from chatglm_q_tpu.serving.engine import ServingEngine
 
@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--lookahead", action="store_true",
                     help="dense engine: dispatch chunk N+1 on device tokens "
                          "before fetching chunk N (hides host+RTT)")
+    ap.add_argument("--echo-model", action="store_true",
+                    help="weights whose greedy continuation echoes the last "
+                         "token (bench.make_echo_params) — real speculative "
+                         "acceptance at 6B-shape compute")
     ap.add_argument("--sampled", type=float, default=0.0,
                     help="submit with this temperature instead of greedy "
                          "(with --speculative-k: exact rejection-sampling "
@@ -55,7 +59,8 @@ def main():
 
     mc = ChatGLM2Config()
     cfg = GLMLoadConfig(model_config=mc, quant_type="int4g32", torch_dtype="bfloat16")
-    params = make_params(mc, "int4g32")
+    params = (make_echo_params(mc) if args.echo_model
+              else make_params(mc, "int4g32"))
     rt = TpuRuntimeConfig(use_flash_attention=args.flash or False)
 
     kw = dict(max_batch=args.max_batch, max_seq_len=args.max_seq,
@@ -100,6 +105,8 @@ def main():
         "shared_prefix": args.shared_prefix,
         "temperature": args.sampled,
         "lookahead": args.lookahead,
+        "echo_model": args.echo_model,
+        "speculative_k": args.speculative_k,
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),

@@ -45,21 +45,25 @@ def make_decode_n(config, quant_type, rt):
     return decode_n
 
 
-def bench_decode(config, params, quant_type, batch, cache_len, rt, start_len=64):
-    cache = M.init_kv_cache(config, batch, cache_len, jnp.bfloat16)
+def bench_decode(config, params, quant_type, batch, cache_len, rt,
+                 start_len=64, kv_dtype=jnp.bfloat16):
+    cache = M.init_kv_cache(config, batch, cache_len, kv_dtype)
     cache = cache.replace(lengths=jnp.full((batch,), start_len, jnp.int32))
     first = jnp.zeros((batch,), jnp.int32)
     decode_n = make_decode_n(config, quant_type, rt)
 
     def run_n(n):
-        return force(decode_n(params, first, cache, n))
+        # decode_n donates the cache (bench.py) — feed it a fresh copy
+        c = jax.tree.map(lambda x: x.copy(), cache)
+        s, _ = decode_n(params, first, c, n)
+        return force(s)
 
     per_step = slope_time(run_n, 8, 40)
     return batch / per_step  # aggregate tokens/s
 
 
 def bench_decode_paged(config, params, quant_type, batch, cache_len, rt,
-                       start_len=64, page_size=256):
+                       start_len=64, page_size=256, kv_dtype=jnp.bfloat16):
     """Paged-pool decode: same shapes as bench_decode but KV behind a
     shuffled page table (worst-case page scatter)."""
     import numpy as np
@@ -69,7 +73,7 @@ def bench_decode_paged(config, params, quant_type, batch, cache_len, rt,
     mp = cache_len // page_size
     num_pages = batch * mp + 2
     cache = PK.init_paged_kv_cache(config, batch, num_pages, cache_len,
-                                   page_size, jnp.bfloat16)
+                                   page_size, kv_dtype)
     perm = np.random.RandomState(0).permutation(num_pages - 1)[: batch * mp]
     cache = cache.replace(
         page_table=jnp.asarray(perm.reshape(batch, mp) + 1, jnp.int32),
@@ -128,12 +132,16 @@ def main():
                     help="decode over a paged pool (shuffled page table)")
     ap.add_argument("--start-len", type=int, default=64,
                     help="valid cache length during decode (attention cost)")
+    ap.add_argument("--kv-dtype", default="bf16", choices=["bf16", "fp8"],
+                    help="KV cache storage dtype (fp8 = float8_e4m3fn)")
+    ap.add_argument("--skip-prefill", action="store_true")
     args = ap.parse_args()
 
     config = ChatGLM2Config()
     rt = TpuRuntimeConfig(use_flash_attention=args.flash or None,
                           dynamic_int8=args.dyn_int8,
                           decode_attn_v2=args.attn_v2)
+    kv_dtype = jnp.bfloat16 if args.kv_dtype == "bf16" else jnp.float8_e4m3fn
 
     for quant in args.quants.split(","):
         params = make_params(config, quant)
@@ -143,19 +151,24 @@ def main():
             t0 = time.perf_counter()
             if args.paged:
                 tps = bench_decode_paged(config, params, quant, b,
-                                         args.cache_len, rt, args.start_len)
+                                         args.cache_len, rt, args.start_len,
+                                         kv_dtype=kv_dtype)
             else:
                 tps = bench_decode(config, params, quant, b, args.cache_len,
-                                   rt, args.start_len)
+                                   rt, args.start_len, kv_dtype=kv_dtype)
             print(json.dumps({
                 "bench": "decode", "quant": quant, "batch": b,
                 "cache_len": args.cache_len, "start_len": args.start_len,
                 "paged": args.paged, "attn_v2": args.attn_v2,
+                "kv_dtype": args.kv_dtype,
                 "tokens_per_sec": round(tps, 2),
                 "per_seq_tok_s": round(tps / b, 2),
                 "sol_frac_batch1_equiv": round(tps / b / sol, 4),
                 "wall_s": round(time.perf_counter() - t0, 1),
             }), flush=True)
+        if args.skip_prefill:
+            del params
+            continue
         t0 = time.perf_counter()
         ptps = bench_prefill(config, params, quant, 1, args.prefill_len, rt)
         print(json.dumps({
