@@ -27,6 +27,10 @@ step spec_plain 2400 python benchmarks/engine_bench.py --engine paged \
   --echo-model --flash --requests 16 --new-tokens 128
 step spec_k7 2400 python benchmarks/engine_bench.py --engine paged \
   --echo-model --flash --requests 16 --new-tokens 128 --speculative-k 7
+# 2b. int8 decode re-measure: the embedding fix removes a ~0.65 ms/step
+#     full-table dequant (bf16[65024,4096] confirmed in the old HLO)
+step int8_embfix 2400 python benchmarks/full_bench.py --quants int8 \
+  --batches 1,8 --skip-prefill
 # 3. 8K-context serving (BASELINE config 5 shape): b8/b16 at 8K cache,
 #    start_len 7800 (the cache actually full), flash, bf16 vs fp8 KV
 step kv8k_bf16 3600 python benchmarks/full_bench.py --quants int4g32 \
