@@ -38,9 +38,10 @@ from chatglm_q_tpu.models import chatglm2 as M  # noqa: E402
 from chatglm_q_tpu.utils.timing import force  # noqa: E402
 
 
-def capture(trace_dir: str, steps: int, quant_type: str, batch: int):
+def capture(trace_dir: str, steps: int, quant_type: str, batch: int,
+            flash: bool = False):
     config = ChatGLM2Config()
-    rt = TpuRuntimeConfig(use_flash_attention=False)
+    rt = TpuRuntimeConfig(use_flash_attention=flash)
     ensure_scheme_probe(config, quant_type)
     params = make_params(config, quant_type)
     cache = M.init_kv_cache(config, batch, 1024, jnp.bfloat16)
@@ -131,12 +132,14 @@ def main():
     ap.add_argument("--trace-dir",
                     default=os.path.join(os.path.dirname(__file__),
                                          "logs", "trace"))
+    ap.add_argument("--flash", action="store_true",
+                    help="flash decode attention (match full_bench --flash)")
     ap.add_argument("--analyze-only", action="store_true",
                     help="parse an existing trace without touching the TPU")
     args = ap.parse_args()
     os.makedirs(args.trace_dir, exist_ok=True)
     if not args.analyze_only:
-        capture(args.trace_dir, args.steps, args.quant, args.batch)
+        capture(args.trace_dir, args.steps, args.quant, args.batch, args.flash)
     analyze(args.trace_dir)
 
 
