@@ -91,6 +91,21 @@ def main():
                       vc.astype(jnp.float32))
     check("flash_decode", got, want, rtol=5e-2, atol=5e-2)
 
+    # layer-indexed stacked-cache decode + in-place write (round 5)
+    L_ = 3
+    kst = jax.random.normal(jax.random.PRNGKey(21), (L_, B, G_, T, D), jnp.bfloat16)
+    vst = jax.random.normal(jax.random.PRNGKey(22), (L_, B, G_, T, D), jnp.bfloat16)
+    got = PA.flash_attention_decode_idx(qd, kst, vst, jnp.int32(1), lengths, sm)
+    want = PA.flash_attention_decode(qd, kst[1], vst[1], lengths, sm)
+    check("flash_decode_idx", got, want, rtol=5e-2, atol=5e-2)
+    new = jax.random.normal(jax.random.PRNGKey(23), (B, G_, D), jnp.bfloat16)
+    want_w = kst
+    for b_ in range(B):
+        want_w = want_w.at[1, b_, :, lengths[b_], :].set(new[b_])
+    # .copy(): the kernel aliases (donates) its cache argument
+    wrote = PA.kv_cache_write_idx(kst.copy(), new, jnp.int32(1), lengths)
+    check("kv_cache_write_idx", wrote, want_w, rtol=0, atol=0)
+
     # flash prefill attention
     S = 512
     qp = jax.random.normal(jax.random.PRNGKey(10), (1, S, G_, Hg, D), jnp.bfloat16)

@@ -248,6 +248,7 @@ def block_forward(
     from . import paged_kv as _PK
 
     paged = isinstance(kv_write, _PK.PagedWrite)
+    kv_stacked = None  # set by the layer-indexed dense decode fast path
     if kv_write is None:
         if past_kv is not None:
             pk, pv = past_kv
@@ -295,6 +296,23 @@ def block_forward(
         kw = k.transpose(0, 2, 1, 3)  # (B, G, S, D) — matches cache layout
         vw = v.transpose(0, 2, 1, 3)
 
+        # layer-indexed decode fast path (round 5): write the token with an
+        # in-place Pallas kernel and attend the STACKED cache directly —
+        # the XLA formulation of the same update materializes per-layer
+        # slab copies + a serial per-row write loop that scale with batch
+        # (profiled ≈ 4.9 ms/step at b16, docs/RESULTS.md round 5)
+        if (slot_map is None and S == 1 and rt.mesh is None
+                and isinstance(mask_bias, tuple)
+                and mask_bias[0] == "flash_decode" and not rt.decode_attn_v2
+                and ck.shape[3] % 8 == 0):
+            from ..ops import pallas_attention as PA
+
+            ck = PA.kv_cache_write_idx(ck, kw[:, :, 0, :], layer_idx, start)
+            cv = PA.kv_cache_write_idx(cv, vw[:, :, 0, :], layer_idx, start)
+            kv_out = (ck, cv)
+            k_full = v_full = None
+            kv_stacked = (ck, cv, layer_idx)
+
         def upd_all(cache, new):
             if new.dtype != cache.dtype:  # trace-time: avoid no-op casts
                 new = new.astype(cache.dtype)
@@ -311,15 +329,18 @@ def block_forward(
                 return cache
             return _scatter_large(cache, new, layer_idx, start)
 
-        ck = upd_all(ck, kw)
-        cv = upd_all(cv, vw)
-        k_full = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
-        v_full = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
-        if slot_map is not None and not isinstance(mask_bias, tuple):
-            # compact-chunk XLA fallback: gather the mapped cache rows
-            k_full = jnp.take(k_full, slot_map, axis=0)
-            v_full = jnp.take(v_full, slot_map, axis=0)
-        kv_out = (ck, cv)  # k_full/v_full are (B, G, T, D)
+        if kv_stacked is None:
+            ck = upd_all(ck, kw)
+            cv = upd_all(cv, vw)
+            k_full = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0,
+                                                  keepdims=False)
+            v_full = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0,
+                                                  keepdims=False)
+            if slot_map is not None and not isinstance(mask_bias, tuple):
+                # compact-chunk XLA fallback: gather the mapped cache rows
+                k_full = jnp.take(k_full, slot_map, axis=0)
+                v_full = jnp.take(v_full, slot_map, axis=0)
+            kv_out = (ck, cv)  # k_full/v_full are (B, G, T, D)
 
     if isinstance(mask_bias, tuple):
         # serving fast path: Pallas flash/ragged attention, mask from lengths
@@ -327,8 +348,9 @@ def block_forward(
 
         kind, lengths = mask_bias
         sm_scale = 1.0 / float(np.sqrt(D))
-        kc = k_full.astype(q.dtype)
-        vc = v_full.astype(q.dtype)
+        if k_full is not None:  # None = layer-indexed stacked-cache path
+            kc = k_full.astype(q.dtype)
+            vc = v_full.astype(q.dtype)
         if kind == "flash_prefill_chunk":
             # chunked prefill: queries at absolute offsets attend the whole
             # cache below them (paged: over a gathered dense view — the
@@ -413,6 +435,12 @@ def block_forward(
             elif rt.decode_attn_v2:
                 ctx = PA.flash_attention_decode_v2(
                     q[:, 0], kc, vc, lengths, sm_scale, rt.attn_block_k
+                )
+            elif kv_stacked is not None:
+                sck, scv, slay = kv_stacked
+                ctx = PA.flash_attention_decode_idx(
+                    q[:, 0], sck, scv, slay, lengths, sm_scale,
+                    rt.attn_block_k
                 )
             else:
                 ctx = PA.flash_attention_decode(

@@ -214,6 +214,7 @@ def _decode_kernel(
     bk: int,
     sm_scale: float,
     return_lse: bool = False,
+    stacked: bool = False,  # k/v blocks carry a leading layer dim (idx path)
 ):
     if return_lse:
         m_out, l_out, m_ref, l_ref, acc_ref = rest
@@ -234,7 +235,9 @@ def _decode_kernel(
     @pl.when(ki * bk < n_valid)
     def _():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        k = k_ref[0, 0, 0] if stacked else k_ref[0, 0]
+        if k.dtype != q.dtype:  # fp8 cache: cast AFTER the DMA (idx path
+            k = k.astype(q.dtype)  # feeds the stored dtype straight in)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
@@ -252,7 +255,9 @@ def _decode_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        v = v_ref[0, 0]
+        v = v_ref[0, 0, 0] if stacked else v_ref[0, 0]
+        if v.dtype != q.dtype:
+            v = v.astype(q.dtype)
         o_curr = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + o_curr
 
@@ -340,6 +345,136 @@ def flash_attention_decode(
         out, m, l = res
         return out, m[..., 0], l[..., 0]
     return res
+
+
+# ---------------------------------------------------------------------------
+# Layer-indexed decode path (round 5): the serving layer-scan carries the
+# FULL (L, B, G, T, D) cache; slicing layer slabs out for the attention
+# kernel and back in for the write materializes XLA copies that scale with
+# batch (profiled at b16: 4 slab extracts + 2 slab write-backs + a serial
+# per-row while write loop ≈ 4.9 ms/step — docs/RESULTS.md round 5).  The
+# same trick that fixed the weights in round 4 fixes the cache: scalar-
+# prefetched layer index in the BlockSpec index maps, so blocks DMA
+# straight from/to the stacked cache and the write aliases in place.
+# ---------------------------------------------------------------------------
+
+def _decode_kernel_idx(lengths_ref, layer_ref, *args, **kw):
+    # the layer scalar is consumed by the BlockSpec index maps only
+    return _decode_kernel(lengths_ref, *args, **kw)
+
+
+def flash_attention_decode_idx(
+    q: jax.Array,        # (B, G, Hg, D) — one new token per row
+    k: jax.Array,        # (L, B, G, T, D) stacked cache (token already written)
+    v: jax.Array,        # (L, B, G, T, D)
+    layer: jax.Array,    # scalar int32 — which layer slab to attend
+    lengths: jax.Array,  # (B,) int32 — cache length BEFORE this token
+    sm_scale: float,
+    block_k: int = 512,
+    interpret: bool | None = None,
+):
+    """flash_attention_decode reading layer ``layer`` of the stacked cache
+    directly (no (B, G, T, D) slab copy as the kernel operand)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    B, G, Hg, D = q.shape
+    T = k.shape[3]
+    bk = min(block_k, T)
+    while T % bk:
+        bk //= 2
+
+    grid = (B, G, T // bk)
+    res = pl.pallas_call(
+        functools.partial(_decode_kernel_idx, bk=bk, sm_scale=sm_scale,
+                          return_lse=False, stacked=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # lengths, layer
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, Hg, D), lambda b, g, ki, *_: (b, g, 0, 0)),
+                # same masked-block index clamp as flash_attention_decode,
+                # with the layer coordinate prefetched
+                pl.BlockSpec((1, 1, 1, bk, D),
+                             lambda b, g, ki, lens, lay: (
+                                 lay[0], b, g,
+                                 jnp.minimum(ki, lens[b] // bk), 0)),
+                pl.BlockSpec((1, 1, 1, bk, D),
+                             lambda b, g, ki, lens, lay: (
+                                 lay[0], b, g,
+                                 jnp.minimum(ki, lens[b] // bk), 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Hg, D),
+                                   lambda b, g, ki, *_: (b, g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hg, 128), jnp.float32),
+                pltpu.VMEM((Hg, 128), jnp.float32),
+                pltpu.VMEM((Hg, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, Hg, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), jnp.reshape(layer, (1,)).astype(jnp.int32),
+      q, k, v)
+    return res
+
+
+_KV_WRITE_ROWS = 8  # aligned sublane window around the written slot
+
+
+def _kv_write_kernel(starts_ref, layer_ref, new_ref, cache_in_ref,
+                     cache_out_ref):
+    b = pl.program_id(0)
+    G, R, D = cache_in_ref.shape[2:]
+    blk = cache_in_ref[0, 0]                       # (G, R, D)
+    n = new_ref[0].astype(blk.dtype)               # (G, D)
+    r = starts_ref[b] % _KV_WRITE_ROWS
+    mask = jax.lax.broadcasted_iota(jnp.int32, (G, R, D), 1) == r
+    cache_out_ref[0, 0] = jnp.where(mask, n[:, None, :], blk)
+
+
+def kv_cache_write_idx(
+    cache: jax.Array,    # (L, B, G, T, D)
+    new: jax.Array,      # (B, G, D) — one token per row
+    layer: jax.Array,    # scalar int32
+    starts: jax.Array,   # (B,) int32 — slot to write for each row
+    interpret: bool | None = None,
+):
+    """Write one token per row into the stacked cache IN PLACE
+    (input_output_aliases) — replaces the slab-extract / per-row-loop /
+    slab-write-back sequence XLA builds for the same update.  Each grid
+    program round-trips one aligned 8-row (G, 8, D) window (4 KB) and
+    selects the written slot in; every other cache byte is untouched
+    aliased input."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    L, B, G, T, D = cache.shape
+    R = _KV_WRITE_ROWS
+
+    grid = (B,)
+    return pl.pallas_call(
+        _kv_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # starts, layer
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, G, D), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, 1, G, R, D),
+                             lambda b, starts, lay: (
+                                 lay[0], b, 0, starts[b] // R, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, G, R, D),
+                                   lambda b, starts, lay: (
+                                       lay[0], b, 0, starts[b] // R, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        # inputs are [starts, layer, new, cache]; alias cache -> output
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(starts.astype(jnp.int32), jnp.reshape(layer, (1,)).astype(jnp.int32),
+      new, cache)
 
 
 # ---------------------------------------------------------------------------

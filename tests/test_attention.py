@@ -135,6 +135,78 @@ def test_fp8_kv_cache_close_to_bf16():
         assert rel < 0.15, rel
 
 
+def test_idx_decode_and_write_kernels_vs_oracle():
+    """Layer-indexed stacked-cache kernels (round 5): decode_idx must match
+    flash_attention_decode on the selected layer slab; the in-place write
+    must equal the .at[].set() oracle and leave every other byte alone."""
+    import numpy as np
+    from chatglm_q_tpu.ops import pallas_attention as PA
+
+    key = jax.random.PRNGKey(0)
+    L, B, G, T, D, Hg = 3, 5, 2, 64, 128, 16
+    k = jax.random.normal(key, (L, B, G, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (L, B, G, T, D),
+                          jnp.float32)
+    q = jax.random.normal(jax.random.fold_in(key, 2), (B, G, Hg, D),
+                          jnp.float32)
+    lengths = jnp.asarray([3, 17, 31, 50, 63], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    for lay in (0, 2):
+        ref = PA.flash_attention_decode(q, k[lay], v[lay], lengths, sm,
+                                        block_k=16)
+        got = PA.flash_attention_decode_idx(q, k, v, jnp.int32(lay), lengths,
+                                            sm, block_k=16)
+        assert float(jnp.max(jnp.abs(got - ref))) < 1e-5
+
+    new = jax.random.normal(jax.random.fold_in(key, 3), (B, G, D), jnp.float32)
+    starts = jnp.asarray([4, 18, 32, 51, 0], jnp.int32)
+    want = k
+    for b in range(B):
+        want = want.at[1, b, :, starts[b], :].set(new[b])
+    got = PA.kv_cache_write_idx(k.copy(), new, jnp.int32(1), starts)
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+
+def test_serving_decode_idx_path_matches_xla(monkeypatch):
+    """The dense serving decode now routes through kv_cache_write_idx +
+    flash_attention_decode_idx (models/chatglm2.py); greedy tokens must
+    match the XLA fallback exactly — and the fast path must actually
+    engage (no silent fallback)."""
+    import numpy as np
+    from chatglm_q_tpu.ops import pallas_attention as PA
+
+    calls = {"write": 0, "attend": 0}
+    real_write, real_attend = PA.kv_cache_write_idx, PA.flash_attention_decode_idx
+
+    def count_write(*a, **k):
+        calls["write"] += 1
+        return real_write(*a, **k)
+
+    def count_attend(*a, **k):
+        calls["attend"] += 1
+        return real_attend(*a, **k)
+
+    monkeypatch.setattr(PA, "kv_cache_write_idx", count_write)
+    monkeypatch.setattr(PA, "flash_attention_decode_idx", count_attend)
+
+    params = M.init_params(jax.random.PRNGKey(3), CFG, "none", jnp.float32)
+    ids = jnp.asarray([[3, 17, 42, 99, 5], [7, 1, 2, 3, 4]])
+    lengths = jnp.asarray([5, 5], jnp.int32)
+
+    def gen(rt):
+        cache = M.init_kv_cache(CFG, 2, 16, jnp.float32)
+        logits, cache = M.prefill(params, CFG, ids, lengths, cache, "none",
+                                  jnp.float32, rt)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        toks, _ = M.multi_step_decode(params, CFG, tok, cache, 8, None,
+                                      "none", jnp.float32, rt)
+        return np.asarray(toks)
+
+    flash = gen(RT_FLASH)
+    assert calls["write"] > 0 and calls["attend"] > 0, calls
+    np.testing.assert_array_equal(flash, gen(RT_XLA))
+
+
 def test_decode_v2_kernel_vs_oracle_ragged():
     """O(length)-read decode kernel (manual double-buffered DMA) vs oracle."""
     from chatglm_q_tpu.ops.pallas_attention import flash_attention_decode_v2

@@ -150,6 +150,23 @@ def test_attention_kernels_compile():
         ((B, G, T, D), jnp.bfloat16), ((B,), jnp.int32))
 
 
+def test_idx_cache_kernels_compile():
+    """Layer-indexed stacked-cache decode attention + in-place KV write
+    (round 5): the serving scan's cache handling must not materialize XLA
+    slab copies (the batch-scaling cost profiled in round 5)."""
+    sm = 1.0 / np.sqrt(D)
+    L = 4
+    for kvdt in (jnp.bfloat16, jnp.float8_e4m3fn):
+        aot(lambda q, k, v, lay, l: PA.flash_attention_decode_idx(
+                q, k, v, lay, l, sm, interpret=False),
+            ((B, G, Hg, D), jnp.bfloat16), ((L, B, G, T, D), kvdt),
+            ((L, B, G, T, D), kvdt), ((), jnp.int32), ((B,), jnp.int32))
+        aot(lambda c, n, lay, s: PA.kv_cache_write_idx(
+                c, n, lay, s, interpret=False),
+            ((L, B, G, T, D), kvdt), ((B, G, D), jnp.bfloat16),
+            ((), jnp.int32), ((B,), jnp.int32))
+
+
 def test_paged_attention_kernels_compile():
     sm = 1.0 / np.sqrt(D)
     L, NP, P_, MP = 2, 64, 64, 16
