@@ -105,6 +105,18 @@ def main():
     # .copy(): the kernel aliases (donates) its cache argument
     wrote = PA.kv_cache_write_idx(kst.copy(), new, jnp.int32(1), lengths)
     check("kv_cache_write_idx", wrote, want_w, rtol=0, atol=0)
+    NPp, Pp, MPp = 10, 256, 4
+    pool = jax.random.normal(jax.random.PRNGKey(24), (L_, NPp, G_, Pp, D),
+                             jnp.bfloat16)
+    pt = jnp.asarray([[1, 4, 2, 6], [3, 0, 5, 2]], jnp.int32)
+    starts = jnp.asarray([100, 1000], jnp.int32)
+    want_p = pool
+    for b_ in range(B):
+        pos = int(starts[b_])
+        want_p = want_p.at[1, int(pt[b_, pos // Pp]), :, pos % Pp, :].set(
+            new[b_])
+    wrote_p = PA.kv_pool_write_idx(pool.copy(), new, jnp.int32(1), pt, starts)
+    check("kv_pool_write_idx", wrote_p, want_p, rtol=0, atol=0)
 
     # flash prefill attention
     S = 512

@@ -266,12 +266,26 @@ def block_forward(
 
         kw = k.transpose(0, 2, 1, 3)  # (B, G, S, D)
         vw = v.transpose(0, 2, 1, 3)
-        kp = PK.write_pages(kv_write.k_pool, kw, kv_write.layer_idx,
-                            kv_write.page_table, kv_write.start,
-                            aligned=kv_write.aligned)
-        vp = PK.write_pages(kv_write.v_pool, vw, kv_write.layer_idx,
-                            kv_write.page_table, kv_write.start,
-                            aligned=kv_write.aligned)
+        kp = vp = None
+        if S == 1 and rt.mesh is None:
+            # decode write: in-place Pallas pool writer (page resolved in
+            # the BlockSpec index map) — the per-row dynamic_update_slice
+            # chain costs scale with batch (round-5 profile)
+            from ..ops import pallas_attention as _PA
+
+            kp = _PA.kv_pool_write_idx(
+                kv_write.k_pool, kw[:, :, 0, :], kv_write.layer_idx,
+                kv_write.page_table, kv_write.start)
+            vp = _PA.kv_pool_write_idx(
+                kv_write.v_pool, vw[:, :, 0, :], kv_write.layer_idx,
+                kv_write.page_table, kv_write.start)
+        if kp is None or vp is None:
+            kp = PK.write_pages(kv_write.k_pool, kw, kv_write.layer_idx,
+                                kv_write.page_table, kv_write.start,
+                                aligned=kv_write.aligned)
+            vp = PK.write_pages(kv_write.v_pool, vw, kv_write.layer_idx,
+                                kv_write.page_table, kv_write.start,
+                                aligned=kv_write.aligned)
         kv_out = (kp, vp)
         if not isinstance(mask_bias, tuple):
             # XLA fallback (decode, or prefill masked over the full pool

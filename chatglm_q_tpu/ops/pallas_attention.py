@@ -477,6 +477,64 @@ def kv_cache_write_idx(
       new, cache)
 
 
+def _pool_write_kernel(starts_ref, layer_ref, pt_ref, new_ref, pool_in_ref,
+                       pool_out_ref, *, cap):
+    b = pl.program_id(0)
+    G, R, D = pool_in_ref.shape[2:]
+    blk = pool_in_ref[0, 0]                        # (G, R, D)
+    n = new_ref[0].astype(blk.dtype)               # (G, D)
+    r = jnp.minimum(starts_ref[b], cap - 1) % _KV_WRITE_ROWS
+    mask = jax.lax.broadcasted_iota(jnp.int32, (G, R, D), 1) == r
+    pool_out_ref[0, 0] = jnp.where(mask, n[:, None, :], blk)
+
+
+def kv_pool_write_idx(
+    pool: jax.Array,       # (L, NP, G, P, D) paged pool
+    new: jax.Array,        # (B, G, D) — one token per row
+    layer: jax.Array,      # scalar int32
+    page_table: jax.Array, # (B, MP) int32
+    starts: jax.Array,     # (B,) int32 — logical position per row
+    interpret: bool | None = None,
+):
+    """Paged twin of :func:`kv_cache_write_idx`: the BlockSpec index map
+    resolves the physical page from the scalar-prefetched page table, so
+    the decode write is one in-place aligned 8-row window per row — no
+    per-row dynamic_update_slice chain on the (L, NP, G, P, D) pool.
+    Positions past the table capacity clamp to the last slot (the dense
+    path's over-generation semantics).  None when the page size doesn't
+    tile (caller falls back)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    L, NP, G, P, D = pool.shape
+    R = _KV_WRITE_ROWS
+    if P % R:
+        return None
+    MP = page_table.shape[1]
+    cap = MP * P
+
+    def pool_map(b, starts, lay, pt):
+        pos = jnp.minimum(starts[b], cap - 1)
+        return (lay[0], pt[b, pos // P], 0, (pos % P) // R, 0)
+
+    return pl.pallas_call(
+        functools.partial(_pool_write_kernel, cap=cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,   # starts, layer, page_table
+            grid=(new.shape[0],),
+            in_specs=[
+                pl.BlockSpec((1, G, D), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, 1, G, R, D), pool_map),
+            ],
+            out_specs=pl.BlockSpec((1, 1, G, R, D), pool_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        # inputs are [starts, layer, page_table, new, pool]; alias pool
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(starts.astype(jnp.int32), jnp.reshape(layer, (1,)).astype(jnp.int32),
+      page_table.astype(jnp.int32), new, pool)
+
+
 # ---------------------------------------------------------------------------
 # shard_map wrappers: flash kernels under tensor/data parallelism.
 # pallas_call has no GSPMD partitioning rules, so under a mesh the kernels

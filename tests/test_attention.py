@@ -167,6 +167,31 @@ def test_idx_decode_and_write_kernels_vs_oracle():
     assert float(jnp.max(jnp.abs(got - want))) == 0.0
 
 
+def test_pool_write_idx_vs_oracle():
+    """Paged-pool in-place writer: equals the dynamic_update_slice oracle
+    through the page table, including the capacity clamp."""
+    import numpy as np
+    from chatglm_q_tpu.ops import pallas_attention as PA
+
+    key = jax.random.PRNGKey(9)
+    L, NP, G, P, D, B, MP = 3, 7, 2, 16, 128, 4, 4
+    pool = jax.random.normal(key, (L, NP, G, P, D), jnp.float32)
+    new = jax.random.normal(jax.random.fold_in(key, 1), (B, G, D), jnp.float32)
+    pt = jnp.asarray([[1, 4, 2, 6], [3, 0, 5, 2], [6, 1, 0, 4], [2, 5, 3, 1]],
+                     jnp.int32)
+    # includes a past-capacity start (70 > 63) that must clamp to slot 63
+    starts = jnp.asarray([0, 17, 63, 70], jnp.int32)
+    want = pool
+    cap = MP * P
+    for b in range(B):
+        pos = min(int(starts[b]), cap - 1)
+        phys = int(pt[b, pos // P])
+        want = want.at[1, phys, :, pos % P, :].set(new[b])
+    got = PA.kv_pool_write_idx(pool.copy(), new, jnp.int32(1), pt, starts)
+    assert got is not None
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+
 def test_serving_decode_idx_path_matches_xla(monkeypatch):
     """The dense serving decode now routes through kv_cache_write_idx +
     flash_attention_decode_idx (models/chatglm2.py); greedy tokens must

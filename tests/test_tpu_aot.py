@@ -165,6 +165,11 @@ def test_idx_cache_kernels_compile():
                 c, n, lay, s, interpret=False),
             ((L, B, G, T, D), kvdt), ((B, G, D), jnp.bfloat16),
             ((), jnp.int32), ((B,), jnp.int32))
+        NP, P_, MP = 64, 256, 16
+        aot(lambda p, n, lay, pt, s: PA.kv_pool_write_idx(
+                p, n, lay, pt, s, interpret=False),
+            ((L, NP, G, P_, D), kvdt), ((B, G, D), jnp.bfloat16),
+            ((), jnp.int32), ((B, MP), jnp.int32), ((B,), jnp.int32))
 
 
 def test_paged_attention_kernels_compile():
