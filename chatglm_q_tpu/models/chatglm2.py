@@ -315,14 +315,33 @@ def block_forward(
         # the XLA formulation of the same update materializes per-layer
         # slab copies + a serial per-row write loop that scale with batch
         # (profiled ≈ 4.9 ms/step at b16, docs/RESULTS.md round 5)
-        if (slot_map is None and S == 1 and rt.mesh is None
-                and isinstance(mask_bias, tuple)
-                and mask_bias[0] == "flash_decode" and not rt.decode_attn_v2
-                and ck.shape[3] % 8 == 0):
+        idx_ok = (slot_map is None and S == 1
+                  and isinstance(mask_bias, tuple)
+                  and mask_bias[0] == "flash_decode"
+                  and not rt.decode_attn_v2 and ck.shape[3] % 8 == 0)
+        if idx_ok and rt.mesh is not None:
+            # mesh case: batch must divide the data axis (cache layout,
+            # kv_cache_pspecs) and heads the model axis; the T-sharded
+            # cache (kv_shard_t) stays on its dedicated merge path
+            from ..ops.pallas_attention import _mesh_divides
+
+            sizes = dict(zip(rt.mesh.axis_names, rt.mesh.devices.shape))
+            idx_ok = (not rt.kv_shard_t
+                      and _mesh_divides(rt.mesh, "data", "model", B, Hg)
+                      and B % sizes.get("data", 1) == 0)
+        if idx_ok:
             from ..ops import pallas_attention as PA
 
-            ck = PA.kv_cache_write_idx(ck, kw[:, :, 0, :], layer_idx, start)
-            cv = PA.kv_cache_write_idx(cv, vw[:, :, 0, :], layer_idx, start)
+            if rt.mesh is None:
+                ck = PA.kv_cache_write_idx(ck, kw[:, :, 0, :], layer_idx,
+                                           start)
+                cv = PA.kv_cache_write_idx(cv, vw[:, :, 0, :], layer_idx,
+                                           start)
+            else:
+                ck = PA.kv_cache_write_idx_sharded(
+                    ck, kw[:, :, 0, :], layer_idx, start, rt.mesh)
+                cv = PA.kv_cache_write_idx_sharded(
+                    cv, vw[:, :, 0, :], layer_idx, start, rt.mesh)
             kv_out = (ck, cv)
             k_full = v_full = None
             kv_stacked = (ck, cv, layer_idx)
@@ -438,6 +457,18 @@ def block_forward(
                     q[:, 0], kv_out[0], kv_out[1], kv_write.layer_idx,
                     kv_write.page_table, lengths, sm_scale,
                 )
+            elif kv_stacked is not None:
+                sck, scv, slay = kv_stacked
+                if rt.mesh is not None:
+                    ctx = PA.flash_attention_decode_idx_sharded(
+                        q[:, 0], sck, scv, slay, lengths, sm_scale, rt.mesh,
+                        rt.attn_block_k
+                    )
+                else:
+                    ctx = PA.flash_attention_decode_idx(
+                        q[:, 0], sck, scv, slay, lengths, sm_scale,
+                        rt.attn_block_k
+                    )
             elif rt.mesh is not None and rt.kv_shard_t:
                 ctx = PA.flash_attention_decode_kv_tsharded(
                     q[:, 0], kc, vc, lengths, sm_scale, rt.mesh, rt.attn_block_k
@@ -449,12 +480,6 @@ def block_forward(
             elif rt.decode_attn_v2:
                 ctx = PA.flash_attention_decode_v2(
                     q[:, 0], kc, vc, lengths, sm_scale, rt.attn_block_k
-                )
-            elif kv_stacked is not None:
-                sck, scv, slay = kv_stacked
-                ctx = PA.flash_attention_decode_idx(
-                    q[:, 0], sck, scv, slay, lengths, sm_scale,
-                    rt.attn_block_k
                 )
             else:
                 ctx = PA.flash_attention_decode(

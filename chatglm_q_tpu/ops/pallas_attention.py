@@ -601,6 +601,57 @@ def flash_attention_decode_sharded(
     return fn(q, k, v, lengths)
 
 
+def flash_attention_decode_idx_sharded(
+    q, k, v, layer, lengths, sm_scale, mesh, block_k=512,
+    data_axis="data", model_axis="model",
+):
+    """Sharded twin of :func:`flash_attention_decode_idx`: batch over the
+    data axis (matching kv_cache_pspecs' stacked (L, B, G, T, D) layout),
+    query heads over the model axis.  None when the mesh doesn't divide
+    (caller falls back to the slab path)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if not _mesh_divides(mesh, data_axis, model_axis, q.shape[0], q.shape[2]):
+        return None
+
+    q_spec = P(data_axis, None, model_axis, None)
+    kv_spec = P(None, data_axis, None, None, None)
+
+    fn = shard_map(
+        lambda q, k, v, lay, l: flash_attention_decode_idx(
+            q, k, v, lay[0], l, sm_scale, block_k),
+        mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, P(), P(data_axis)),
+        out_specs=q_spec,
+        check_vma=False,
+    )
+    return fn(q, k, v, jnp.reshape(layer, (1,)), lengths)
+
+
+def kv_cache_write_idx_sharded(
+    cache, new, layer, starts, mesh, data_axis="data", model_axis="model",
+):
+    """Sharded twin of :func:`kv_cache_write_idx` (batch over data axis).
+    None when the mesh doesn't divide the batch."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if new.shape[0] % sizes.get(data_axis, 1):
+        return None
+
+    c_spec = P(None, data_axis, None, None, None)
+    fn = shard_map(
+        lambda c, n, lay, s: kv_cache_write_idx(c, n, lay[0], s),
+        mesh=mesh,
+        in_specs=(c_spec, P(data_axis, None, None), P(), P(data_axis)),
+        out_specs=c_spec,
+        check_vma=False,
+    )
+    return fn(cache, new, jnp.reshape(layer, (1,)), starts)
+
+
 # ---------------------------------------------------------------------------
 # Decode v2: O(length) KV reads via manual double-buffered DMA with a
 # dynamic in-kernel trip count (paged-attention structure over contiguous
