@@ -35,12 +35,14 @@ def make_decode_n(config, quant_type, rt):
     """The decode timing program (module-level so
     benchmarks/aot_precompile.py can pre-populate its cache entry)."""
 
-    @partial(jax.jit, static_argnames="n")
+    @partial(jax.jit, static_argnames="n", donate_argnums=(2,))
     def decode_n(p, first, cache, n):
-        toks, _ = M.multi_step_decode(
+        toks, cache = M.multi_step_decode(
             p, config, first, cache, n, None, quant_type, jnp.bfloat16, rt
         )
-        return toks.sum()
+        # returning the cache lets XLA alias the donated KV buffers
+        # (same pattern as bench.py make_decode_n)
+        return toks.sum(), cache
 
     return decode_n
 
