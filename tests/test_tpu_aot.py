@@ -402,6 +402,43 @@ def test_sharded_attention_kernels_compile():
                         q, kp, vp, li, pt, lp).compile()
 
 
+def test_sharded_idx_cache_kernels_compile():
+    """The layer-indexed stacked-cache decode kernels under shard_map
+    (mesh twin of the round-5 b8-b64 fix): in-place write + flash decode
+    straight off the (L, B, G, T, D) cache, compiled for real v5e over a
+    (data=2, model=2) topology mesh."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from chatglm_q_tpu.parallel import sharding as S
+
+    topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 2),
+                (S.DATA_AXIS, S.MODEL_AXIS))
+    sm = 1.0 / np.sqrt(D)
+    L_, B2, T = 2, 2, 1024
+
+    def st(shape, dtype, spec):
+        return jax.ShapeDtypeStruct(shape, dtype,
+                                    sharding=NamedSharding(mesh, spec))
+
+    cache_spec = P(None, S.DATA_AXIS, None, None, None)
+    cache = st((L_, B2, G, T, D), jnp.bfloat16, cache_spec)
+    new = st((B2, G, D), jnp.bfloat16, P(S.DATA_AXIS))
+    layer = st((), jnp.int32, P())
+    starts = st((B2,), jnp.int32, P(S.DATA_AXIS))
+    with mesh:
+        jax.jit(lambda c, n, lay, s: PA.kv_cache_write_idx_sharded(
+            c, n, lay, s, mesh)).lower(cache, new, layer, starts).compile()
+
+    q = st((B2, G, Hg, D), jnp.bfloat16, P(S.DATA_AXIS, None, S.MODEL_AXIS))
+    lengths = st((B2,), jnp.int32, P(S.DATA_AXIS))
+    with mesh:
+        jax.jit(lambda q, k, v, lay, l: PA.flash_attention_decode_idx_sharded(
+            q, k, v, lay, l, sm, mesh)).lower(
+                q, cache, cache, layer, lengths).compile()
+
+
 @functools.lru_cache(maxsize=1)
 def _pod_train_hlo() -> str:
     """8-device (2, 4) v5e pod: the FULL training step — loss + grads
