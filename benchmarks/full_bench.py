@@ -130,6 +130,8 @@ def main():
                     help="dynamic activation quantization for int8 layers")
     ap.add_argument("--attn-v2", action="store_true",
                     help="O(length) manual-DMA decode attention kernel")
+    ap.add_argument("--no-idx-cache", action="store_true",
+                    help="A/B: disable the layer-indexed cache kernels")
     ap.add_argument("--paged", action="store_true",
                     help="decode over a paged pool (shuffled page table)")
     ap.add_argument("--start-len", type=int, default=64,
@@ -142,7 +144,8 @@ def main():
     config = ChatGLM2Config()
     rt = TpuRuntimeConfig(use_flash_attention=args.flash or None,
                           dynamic_int8=args.dyn_int8,
-                          decode_attn_v2=args.attn_v2)
+                          decode_attn_v2=args.attn_v2,
+                          no_idx_cache=args.no_idx_cache)
     kv_dtype = jnp.bfloat16 if args.kv_dtype == "bf16" else jnp.float8_e4m3fn
 
     for quant in args.quants.split(","):
@@ -162,6 +165,7 @@ def main():
                 "bench": "decode", "quant": quant, "batch": b,
                 "cache_len": args.cache_len, "start_len": args.start_len,
                 "paged": args.paged, "attn_v2": args.attn_v2,
+                "no_idx_cache": args.no_idx_cache,
                 "kv_dtype": args.kv_dtype,
                 "tokens_per_sec": round(tps, 2),
                 "per_seq_tok_s": round(tps / b, 2),

@@ -161,6 +161,11 @@ class TpuRuntimeConfig:
     # manual double-buffered HBM reads with a dynamic trip count, enabled by
     # the (L, B, G, T, D) cache layout's contiguous per-group rows.
     decode_attn_v2: bool = False
+    # Disable the layer-indexed stacked-cache decode kernels
+    # (kv_cache_write_idx + flash_attention_decode_idx) and fall back to the
+    # XLA slab-copy cache update.  A/B lever only — the idx path measured
+    # +15/+46/+63/+73% aggregate at b8/16/32/64 (docs/RESULTS.md round 5).
+    no_idx_cache: bool = False
     # Tensor-parallel serving with the FUSED Pallas kernels: each linear
     # runs per-shard under shard_map with the Megatron col/row placement
     # (parallel/tp_linear.py) instead of the GSPMD jnp-dequant fallback

@@ -318,7 +318,8 @@ def block_forward(
         idx_ok = (slot_map is None and S == 1
                   and isinstance(mask_bias, tuple)
                   and mask_bias[0] == "flash_decode"
-                  and not rt.decode_attn_v2 and ck.shape[3] % 8 == 0)
+                  and not rt.decode_attn_v2 and not rt.no_idx_cache
+                  and ck.shape[3] % 8 == 0)
         if idx_ok and rt.mesh is not None:
             # mesh case: batch must divide the data axis (cache layout,
             # kv_cache_pspecs) and heads the model axis; the T-sharded

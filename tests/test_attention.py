@@ -231,6 +231,15 @@ def test_serving_decode_idx_path_matches_xla(monkeypatch):
     assert calls["write"] > 0 and calls["attend"] > 0, calls
     np.testing.assert_array_equal(flash, gen(RT_XLA))
 
+    # the A/B lever: no_idx_cache must route AROUND the idx kernels and
+    # still produce the same tokens (slab-copy flash path)
+    calls["write"] = calls["attend"] = 0
+    rt_noidx = TpuRuntimeConfig(use_pallas=False, use_flash_attention=True,
+                                no_idx_cache=True)
+    noidx = gen(rt_noidx)
+    assert calls["write"] == 0 and calls["attend"] == 0, calls
+    np.testing.assert_array_equal(flash, noidx)
+
 
 def test_decode_v2_kernel_vs_oracle_ragged():
     """O(length)-read decode kernel (manual double-buffered DMA) vs oracle."""
