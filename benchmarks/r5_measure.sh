@@ -8,8 +8,14 @@ python -c "import chatglm_q_tpu" 2>/dev/null \
   || pip install -e . --no-build-isolation --no-deps -q
 python -c "import chatglm_q_tpu" \
   || { echo "editable install failed"; exit 1; }
-timeout 170 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
-  || { echo "device not answering"; exit 1; }
+ok=0
+for i in 1 2 3 4 5 6 7 8; do
+  timeout 170 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
+    && { ok=1; break; }
+  echo "probe $i failed; retrying in 180s"
+  sleep 180
+done
+[ "$ok" = 1 ] || { echo "device not answering"; exit 1; }
 step() {
   local name=$1 to=$2; shift 2
   [ -f "$L/r5_$name.done" ] && { echo "== $name done"; return; }
