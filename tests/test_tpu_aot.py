@@ -342,6 +342,24 @@ def test_attention_kernels_compile_8k():
         ((B, G, Hg, D), jnp.bfloat16), ((L_, NP, G, P_, D), jnp.bfloat16),
         ((L_, NP, G, P_, D), jnp.bfloat16), ((1,), jnp.int32),
         ((B, MP), jnp.int32), ((B,), jnp.int32))
+    # layer-indexed stacked-cache kernels at 8K (the kv8k bench path)
+    aot(lambda q, k, v, lay, l: PA.flash_attention_decode_idx(
+            q, k, v, lay, l, sm, interpret=False),
+        ((B, G, Hg, D), jnp.bfloat16), ((L_, B, G, T8, D), jnp.bfloat16),
+        ((L_, B, G, T8, D), jnp.bfloat16), ((), jnp.int32),
+        ((B,), jnp.int32))
+    aot(lambda c, n, lay, s: PA.kv_cache_write_idx(c, n, lay, s),
+        ((L_, B, G, T8, D), jnp.bfloat16), ((B, G, D), jnp.bfloat16),
+        ((), jnp.int32), ((B,), jnp.int32))
+    # and with the fp8 KV storage option (in-kernel cast after the DMA)
+    aot(lambda q, k, v, lay, l: PA.flash_attention_decode_idx(
+            q, k, v, lay, l, sm, interpret=False),
+        ((B, G, Hg, D), jnp.bfloat16), ((L_, B, G, T8, D), jnp.float8_e4m3fn),
+        ((L_, B, G, T8, D), jnp.float8_e4m3fn), ((), jnp.int32),
+        ((B,), jnp.int32))
+    aot(lambda c, n, lay, s: PA.kv_cache_write_idx(c, n, lay, s),
+        ((L_, B, G, T8, D), jnp.float8_e4m3fn), ((B, G, D), jnp.bfloat16),
+        ((), jnp.int32), ((B,), jnp.int32))
 
 
 def test_sharded_attention_kernels_compile():
