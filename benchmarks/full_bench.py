@@ -132,6 +132,10 @@ def main():
                     help="O(length) manual-DMA decode attention kernel")
     ap.add_argument("--no-idx-cache", action="store_true",
                     help="A/B: disable the layer-indexed cache kernels")
+    ap.add_argument("--attn-block-k", type=int, default=0,
+                    help="decode attention KV block rows (0 = default 512); "
+                         "long contexts are grid-step-overhead bound, bigger "
+                         "blocks cut the step count")
     ap.add_argument("--paged", action="store_true",
                     help="decode over a paged pool (shuffled page table)")
     ap.add_argument("--start-len", type=int, default=64,
@@ -146,6 +150,9 @@ def main():
                           dynamic_int8=args.dyn_int8,
                           decode_attn_v2=args.attn_v2,
                           no_idx_cache=args.no_idx_cache)
+    if args.attn_block_k:
+        import dataclasses
+        rt = dataclasses.replace(rt, attn_block_k=args.attn_block_k)
     kv_dtype = jnp.bfloat16 if args.kv_dtype == "bf16" else jnp.float8_e4m3fn
 
     for quant in args.quants.split(","):
@@ -166,6 +173,7 @@ def main():
                 "cache_len": args.cache_len, "start_len": args.start_len,
                 "paged": args.paged, "attn_v2": args.attn_v2,
                 "no_idx_cache": args.no_idx_cache,
+                "attn_block_k": args.attn_block_k or 512,
                 "kv_dtype": args.kv_dtype,
                 "tokens_per_sec": round(tps, 2),
                 "per_seq_tok_s": round(tps / b, 2),
