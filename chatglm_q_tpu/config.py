@@ -200,6 +200,17 @@ class TpuRuntimeConfig:
             return self.sync_prefill_chunks
         return _is_tunneled_backend()
 
+    def decode_block_k(self, cache_len: int) -> int:
+        """KV block rows for the ragged decode kernels, given the cache's
+        static capacity.  Long contexts are grid-step-overhead bound
+        (~0.6 us/step regardless of work — docs/RESULTS.md round 5), so
+        blocks scale with capacity: measured at 8K, T//4 = 2048 rows gives
+        +19%/+30% agg at b8/b16 over the 512 default, while short caches
+        keep 512 (big blocks DMA masked rows when valid length << block)."""
+        if cache_len >= 4096:
+            return max(self.attn_block_k, cache_len // 4)
+        return self.attn_block_k
+
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas

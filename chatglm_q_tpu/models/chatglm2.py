@@ -460,23 +460,25 @@ def block_forward(
                 )
             elif kv_stacked is not None:
                 sck, scv, slay = kv_stacked
+                bk = rt.decode_block_k(sck.shape[3])
                 if rt.mesh is not None:
                     ctx = PA.flash_attention_decode_idx_sharded(
                         q[:, 0], sck, scv, slay, lengths, sm_scale, rt.mesh,
-                        rt.attn_block_k
+                        bk
                     )
                 else:
                     ctx = PA.flash_attention_decode_idx(
-                        q[:, 0], sck, scv, slay, lengths, sm_scale,
-                        rt.attn_block_k
+                        q[:, 0], sck, scv, slay, lengths, sm_scale, bk
                     )
             elif rt.mesh is not None and rt.kv_shard_t:
                 ctx = PA.flash_attention_decode_kv_tsharded(
-                    q[:, 0], kc, vc, lengths, sm_scale, rt.mesh, rt.attn_block_k
+                    q[:, 0], kc, vc, lengths, sm_scale, rt.mesh,
+                    rt.decode_block_k(kc.shape[2])
                 )
             elif rt.mesh is not None:
                 ctx = PA.flash_attention_decode_sharded(
-                    q[:, 0], kc, vc, lengths, sm_scale, rt.mesh, rt.attn_block_k
+                    q[:, 0], kc, vc, lengths, sm_scale, rt.mesh,
+                    rt.decode_block_k(kc.shape[2])
                 )
             elif rt.decode_attn_v2:
                 ctx = PA.flash_attention_decode_v2(
@@ -484,7 +486,8 @@ def block_forward(
                 )
             else:
                 ctx = PA.flash_attention_decode(
-                    q[:, 0], kc, vc, lengths, sm_scale, rt.attn_block_k
+                    q[:, 0], kc, vc, lengths, sm_scale,
+                    rt.decode_block_k(kc.shape[2])
                 )
             attn_in_tap = ctx.reshape(B, 1, G * Hg * D)
     else:

@@ -64,6 +64,39 @@ def test_decode_kernel_vs_oracle_ragged():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_decode_block_k_capacity_scaling():
+    """Long caches get capacity-scaled KV blocks (grid-step-overhead
+    bound there: bk=T//4 measured +19/+30% agg at 8K b8/b16 —
+    docs/RESULTS.md round 5); short caches keep the configured block."""
+    rt = TpuRuntimeConfig()
+    assert rt.decode_block_k(1024) == 512
+    assert rt.decode_block_k(2048) == 512
+    assert rt.decode_block_k(4096) == 1024
+    assert rt.decode_block_k(8192) == 2048
+    # explicit override still wins when larger
+    rt2 = TpuRuntimeConfig(attn_block_k=4096)
+    assert rt2.decode_block_k(8192) == 4096
+
+    # the kernel is exact at a capacity-scaled block: T=4096, bk=1024
+    B, T, G, Hg, D = 2, 4096, 1, 4, 16
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, G, Hg, D))
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, G, T, D))
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, G, T, D))
+    lengths = jnp.asarray([93, 3800], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    s = jnp.einsum("bghd,bgtd->bght", q, k) * sm
+    m = jnp.arange(T)[None, :] <= lengths[:, None]
+    ref = jnp.einsum(
+        "bght,bgtd->bghd",
+        jax.nn.softmax(jnp.where(m[:, None, None], s, -1e30), axis=-1), v,
+    )
+    out = flash_attention_decode(q, k, v, lengths, sm,
+                                 TpuRuntimeConfig().decode_block_k(T),
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_serving_path_flash_matches_xla():
     """prefill + decode steps must produce identical logits via both
     attention implementations."""

@@ -342,9 +342,12 @@ def test_attention_kernels_compile_8k():
         ((B, G, Hg, D), jnp.bfloat16), ((L_, NP, G, P_, D), jnp.bfloat16),
         ((L_, NP, G, P_, D), jnp.bfloat16), ((1,), jnp.int32),
         ((B, MP), jnp.int32), ((B,), jnp.int32))
-    # layer-indexed stacked-cache kernels at 8K (the kv8k bench path)
+    # layer-indexed stacked-cache kernels at 8K (the kv8k bench path),
+    # at the capacity-scaled block the runtime heuristic picks
+    # (decode_block_k: T//4 = 2048 rows — 1024+-row flash tiles compile
+    # fine on v5e, the >512-row lore was prefill-specific)
     aot(lambda q, k, v, lay, l: PA.flash_attention_decode_idx(
-            q, k, v, lay, l, sm, interpret=False),
+            q, k, v, lay, l, sm, block_k=2048, interpret=False),
         ((B, G, Hg, D), jnp.bfloat16), ((L_, B, G, T8, D), jnp.bfloat16),
         ((L_, B, G, T8, D), jnp.bfloat16), ((), jnp.int32),
         ((B,), jnp.int32))
