@@ -51,6 +51,8 @@ def main():
                     help="weights whose greedy continuation echoes the last "
                          "token (bench.make_echo_params) — real speculative "
                          "acceptance at 6B-shape compute")
+    ap.add_argument("--full-batch", action="store_true",
+                    help="paged engine: decode all slots (no compact bucket)")
     ap.add_argument("--sampled", type=float, default=0.0,
                     help="submit with this temperature instead of greedy "
                          "(with --speculative-k: exact rejection-sampling "
@@ -75,7 +77,9 @@ def main():
                                  num_pages=pages, page_size=args.page_size,
                                  prefix_cache=args.prefix_cache,
                                  speculative_k=args.speculative_k,
-                                 speculative_sampled=args.sampled > 0, **kw)
+                                 speculative_sampled=args.sampled > 0,
+                                 full_batch_decode=args.full_batch or None,
+                                 **kw)
     else:
         eng = ServingEngine(cfg, params, tokenizer=None,
                             lookahead=args.lookahead, **kw)
@@ -107,6 +111,7 @@ def main():
         "lookahead": args.lookahead,
         "echo_model": args.echo_model,
         "speculative_k": args.speculative_k,
+        "full_batch": args.full_batch,
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),

@@ -51,11 +51,19 @@ class PagedServingEngine(ServingEngine):
                  prefix_cache: bool = False,
                  speculative_k: int = 0, speculative_ngram: int = 3,
                  speculative_sampled: bool = False,
+                 full_batch_decode: bool | None = None,
                  **kwargs):
         # consumed by _make_cache, which super().__init__ calls
         self.num_pages = num_pages
         self.page_size = page_size
         self.prefix_cache = prefix_cache
+        if full_batch_decode is not None:
+            # escape hatch: decode every slot instead of the compacted
+            # active subset (the distributed engine's mode).  Measured use:
+            # the tunneled-v5e backend faults (INTERNAL) executing the
+            # bucket-32 compact program — full-batch at max_batch 32 runs
+            # the dense-style structure instead (benchmarks/r5_p32_bisect).
+            self._full_batch_decode = full_batch_decode
         # in-graph prompt-lookup speculative decoding (greedy requests):
         # models/spec_decode.py; chunks fall back to plain decode whenever
         # any active request samples (temperature > 0) — unless

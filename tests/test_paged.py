@@ -163,6 +163,26 @@ def test_paged_engine_matches_dense_engine(params):
     assert got == want, (got, want)
 
 
+def test_paged_engine_full_batch_decode_matches(params):
+    """The single-host full_batch_decode escape hatch (decode all slots,
+    no compact bucket — the workaround for the tunneled backend's
+    bucket-32 fault, benchmarks/r5_p32_bisect) stays token-exact."""
+    from chatglm_q_tpu.serving.paged_engine import PagedServingEngine
+
+    prompts = [[3, 17, 42], [7, 9, 11, 13, 15], [100, 101], [50, 60, 70, 80],
+               [5, 6], [9, 8, 7]]
+    dense, paged = _make_engines(params, num_pages=40)
+    want = _run(dense, prompts, max_new_tokens=6)
+    load_cfg = GLMLoadConfig(model_config=CFG, torch_dtype="float32")
+    fb = PagedServingEngine(load_cfg, params, None, rt=XLA_RT,
+                            num_pages=40, page_size=PAGE, max_batch=4,
+                            max_seq_len=64, decode_chunk=4,
+                            full_batch_decode=True)
+    assert fb._full_batch_decode is True
+    got = _run(fb, prompts, max_new_tokens=6)
+    assert got == want, (got, want)
+
+
 def test_paged_pool_fp8_kv(params):
     """The reduced-precision KV option must work behind the page table
     (pool stores f8, kernels upcast): greedy ids stay close to f32 —
