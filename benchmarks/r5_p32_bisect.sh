@@ -36,3 +36,7 @@ step p32_noflash 2400 python benchmarks/engine_bench.py --engine paged \
 step p32_dense 2400 python benchmarks/engine_bench.py --engine dense \
   --flash --requests 64 --max-batch 32 --new-tokens 128
 echo "== p32 bisect complete"
+# workaround check: full-batch decode structure at max_batch 32
+step p32_fullbatch 2400 python benchmarks/engine_bench.py --engine paged \
+  --flash --requests 64 --max-batch 32 --new-tokens 128 --full-batch
+echo "== p32 fullbatch check complete"
