@@ -57,12 +57,22 @@ class PagedServingEngine(ServingEngine):
         self.num_pages = num_pages
         self.page_size = page_size
         self.prefix_cache = prefix_cache
+        if full_batch_decode is None and not self._full_batch_decode:
+            # auto (unless the subclass already forces full-batch — the
+            # distributed engine): the tunneled-axon backend faults
+            # (INTERNAL) executing compact paged decode programs at several
+            # (bucket, pages/row) shapes — (32, 2) and (8, 32) both
+            # reproduce; the kernels and the full-batch structure are clean
+            # (benchmarks/r5_p32_bisect.sh, docs/RESULTS.md round 5).
+            # Full-batch costs little on TPU (decode is weight-stream
+            # bound; inactive rows carry length-0 garbage tables), so it
+            # is the default there.
+            from ..config import _is_tunneled_backend
+
+            full_batch_decode = _is_tunneled_backend()
         if full_batch_decode is not None:
-            # escape hatch: decode every slot instead of the compacted
-            # active subset (the distributed engine's mode).  Measured use:
-            # the tunneled-v5e backend faults (INTERNAL) executing the
-            # bucket-32 compact program — full-batch at max_batch 32 runs
-            # the dense-style structure instead (benchmarks/r5_p32_bisect).
+            # decode every slot instead of the compacted active subset
+            # (the distributed engine's mode) — see auto rule above
             self._full_batch_decode = full_batch_decode
         # in-graph prompt-lookup speculative decoding (greedy requests):
         # models/spec_decode.py; chunks fall back to plain decode whenever
