@@ -111,7 +111,7 @@ def main():
         "lookahead": args.lookahead,
         "echo_model": args.echo_model,
         "speculative_k": args.speculative_k,
-        "full_batch": args.full_batch,
+        "full_batch": bool(getattr(eng, "_full_batch_decode", False)),
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),
