@@ -60,7 +60,7 @@ for bin_file in tqdm(bin_files):
     new_state_dict = {}
     for k, v in state_dict.items():
         if k not in name_mapping:
-            print(f"Unused weight '{k}'")
+            print(f"skipping '{k}' (no target name — e.g. rotary inv_freq)")
             continue
         new_state_dict[name_mapping[k]] = v
     save_file(new_state_dict, target_path / bin_file.replace(".bin", ".safetensors"))
