@@ -136,11 +136,12 @@ class TpuRuntimeConfig:
     # linears (tp_pallas below); whole-prompt/chunked prefill attention
     # under a mesh stays on the GSPMD XLA path (MXU-bound there).
     use_flash_attention: Optional[bool] = None
-    # Dynamic activation quantization for int8 layers: per-row int8
-    # activations + s8×s8 MXU dots with both scales applied to the int32
-    # accumulator (the reference's ONNX DynamicQuantizeLinear semantics,
-    # int8/qlinear.py:54-70).  ~0.3-1% activation quantization error —
-    # a different numerics mode, so opt-in.
+    # Dynamic activation quantization for the quantized layers (int8 AND
+    # int4g32): per-row int8 activations + s8×s8 MXU dots with the scales
+    # applied to the int32 accumulator (the reference's ONNX
+    # DynamicQuantizeLinear semantics, int8/qlinear.py:54-70; for int4 the
+    # nibbles widen int4→int8 with no float dequant at all).  ~0.3-1%
+    # activation quantization error — a different numerics mode, so opt-in.
     dynamic_int8: bool = False
     # Matmul M-dimension at or below which the fused (bandwidth-bound) decode
     # kernels are used; above it, prefill-style dequant-then-matmul is used.

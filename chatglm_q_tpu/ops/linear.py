@@ -132,6 +132,13 @@ def int4_matmul(flags, x, packed, scale):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
+        if _dynamic_int8(flags):
+            # dynamic activation quantization extends to int4 layers: s8×s8
+            # MXU group dots, no float dequant (measured motivation:
+            # docs/RESULTS.md round 5, the b≥32 int8-over-int4 crossover)
+            out = PM.int4_dyn_matmul_pallas(xp, packed, scale)
+            if out is not None:
+                return out
         return PM.int4_matmul_auto(xp, packed, scale)
     return _int4_matmul_fallback(xp, packed, scale)
 
@@ -177,6 +184,10 @@ def _int4_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
+        if _dynamic_int8(flags):
+            out = PM.int4_dyn_matmul_pallas_idx(x, w.stack, s.stack, w.idx)
+            if out is not None:
+                return out
         out = PM.int4_matmul_auto_idx(x, w.stack, s.stack, w.idx)
         if out is not None:
             return out

@@ -1020,3 +1020,157 @@ def int8_dyn_matmul_pallas(x, w, scale, *, bk_cap=2048, bn_cap=2048, interpret=N
         interpret=interpret,
     )(xqp, sxp, w, scale.astype(jnp.float32).reshape(1, N))
     return out[:M]
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-activation int4g32 kernel (round 5): the int8-dyn trick applied to
+# the packed int4 weights.  Motivation is the measured b≥32 crossover where
+# int8 OVERTAKES int4 despite streaming 1.7× the bytes (r5_final_sweep:
+# b64 4404 vs 3721 agg) — at high batch the binding wall is the int4
+# ladder's per-element float dequant, not the weight stream.  Here the
+# nibble unpack widens int4→int8 (a sign-extend, no int→float convert, no
+# per-element multiply) and the group-32 partial dots run s8×s8 on the MXU
+# with int32 accumulation; the group scale and the per-row activation scale
+# both apply to (bm, bn) partials.  Dynamic activation quantization is a
+# different numerics mode (~0.3-1% activation error) — opt-in via
+# TpuRuntimeConfig.dynamic_int8, same as the int8 path (the reference's
+# ONNX DynamicQuantizeLinear semantics, int8/qlinear.py:54-70).
+# ---------------------------------------------------------------------------
+
+def _int4_dyn_kernel(xq_ref, xs_ref, p_ref, s_ref, o_ref, acc_ref, *,
+                     interpret, k_total):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = _unpack_tile_int4(p_ref[...], interpret)          # (bk, bn) int4
+    bk, bn = q.shape
+    w8 = q.astype(jnp.int8)
+    gb = bk // 32
+    xq = xq_ref[...]
+    s = s_ref[...].astype(jnp.float32)
+    if k_total % bk:
+        # final K block overhangs storage: zero the activation columns and
+        # scale rows there (int zeros are exact; w8 is always finite)
+        valid = k_total - k * bk
+        cols = jax.lax.broadcasted_iota(jnp.int32, xq.shape, 1)
+        xq = jnp.where(cols < valid, xq, jnp.zeros_like(xq))
+        srows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(srows * 32 < valid, s, jnp.zeros_like(s))
+    total = jnp.zeros_like(acc_ref)
+    for g in range(gb):
+        pg = jax.lax.dot_general(
+            xq[:, 32 * g:32 * (g + 1)], w8[32 * g:32 * (g + 1)],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        total += pg.astype(jnp.float32) * s[g][None, :]
+    acc_ref[...] += total
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * xs_ref[...]).astype(o_ref.dtype)
+
+
+def _dyn_quantize_rows(x):
+    """Per-row symmetric int8 activation quantization (shared prologue)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0,
+                  min=1e-10)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def int4_dyn_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
+                           interpret=None):
+    """Dynamic-activation int4g32 matmul.
+
+    x (M, K) float → per-row symmetric int8;
+    y = Σ_g (xq_g @ unpack_s8(packed)_g) · scale_g · sx.
+    Returns None when the shape is unsupported (caller falls back)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K2 = x.shape[0], packed.shape[0]
+    K = 2 * K2
+    N = packed.shape[1]
+    xp = x if x.shape[1] == K else jnp.pad(x, ((0, 0), (0, K - x.shape[1])))
+    bk = _pick_int4_bk(K, min(_BK_CAP or bk_cap, bk_cap))
+    bn = _largest_divisor(N, 128, _BN_CAP or bn_cap)
+    if bk is None or bn is None:
+        return None
+    bm = _block_m(M)
+    xq, sx = _dyn_quantize_rows(xp)
+    xqp = _pad_rows(xq, bm)
+    sxp = _pad_rows(sx, bm)
+    Mp = xqp.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_int4_dyn_kernel, interpret=interpret, k_total=K),
+        grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0)),
+            pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((bk // 32, bn), lambda m, n, k: (k, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xqp, sxp, packed, scale)
+    return out[:M]
+
+
+def int4_dyn_matmul_pallas_idx(x, pstack, sstack, idx, *, bk_cap=2048,
+                               bn_cap=2048, interpret=None):
+    """Layer-indexed twin of :func:`int4_dyn_matmul_pallas` (the serving
+    scan must never slice the stacked weights — round-4 lesson).  Untiled
+    (L, K/2, N) stacks only; returns None otherwise."""
+    if pstack.ndim != 3:
+        return None
+    if interpret is None:
+        interpret = not _is_tpu()
+    M = x.shape[0]
+    Lw, K2, N = pstack.shape
+    K = 2 * K2
+    xp = x if x.shape[1] == K else jnp.pad(x, ((0, 0), (0, K - x.shape[1])))
+    bk = _pick_int4_bk(K, min(_BK_CAP or bk_cap, bk_cap))
+    bn = _largest_divisor(N, 128, _BN_CAP or bn_cap)
+    if bk is None or bn is None:
+        return None
+    bm = _block_m(M)
+    xq, sx = _dyn_quantize_rows(xp)
+    xqp = _pad_rows(xq, bm)
+    sxp = _pad_rows(sx, bm)
+    Mp = xqp.shape[0]
+    inner = functools.partial(_int4_dyn_kernel, interpret=interpret, k_total=K)
+
+    def kern(idx_ref, xq_ref, xs_ref, p_ref, s_ref, o_ref, acc_ref):
+        del idx_ref  # consumed by the index maps
+        inner(xq_ref, xs_ref, p_ref.at[0], s_ref.at[0], o_ref, acc_ref)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Mp // bm, N // bn, pl.cdiv(K, bk)),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda m, n, k, i: (m, k)),
+                pl.BlockSpec((bm, 1), lambda m, n, k, i: (m, 0)),
+                pl.BlockSpec((1, bk // 2, bn), lambda m, n, k, i: (i[0], k, n)),
+                pl.BlockSpec((1, bk // 32, bn), lambda m, n, k, i: (i[0], k, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, i: (m, n)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xqp, sxp, pstack, sstack)
+    return out[:M]

@@ -144,6 +144,66 @@ def test_dynamic_int8_matmul_close():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-5)
 
 
+def _int4_dyn_oracle(x, p, s):
+    """Exact jnp formulation of the dyn-int4 kernel's math: per-row s8
+    activations, per-group int dots, scales on the partials."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0,
+                  min=1e-10)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127)
+    wq = Q.unpack_int4_tpu(p, jnp.ones_like(s))  # unscaled int values
+    M, K = xq.shape
+    G = K // 32
+    partial = jnp.einsum("mgk,gkn->mgn", xq.reshape(M, G, 32),
+                         wq.reshape(G, 32, -1))
+    return jnp.einsum("mgn,gn->mn", partial, s.astype(jnp.float32)) * sx
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (32, 640, 128)])
+def test_dynamic_int4_matmul(m, k, n):
+    """Dyn-int4 kernel (s8×s8 MXU group dots, no float dequant) vs its
+    exact oracle, incl. a masked-overhang K (640 → bk 512 + masked 128);
+    and within ~1% of the weight-only float reference."""
+    x = rand((m, k), 50)
+    p, s = make_int4(k, n, 51)
+    out = PM.int4_dyn_matmul_pallas(x, p, s, interpret=INTERPRET)
+    assert out is not None
+    ref = _int4_dyn_oracle(x, p, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    dense = x @ Q.unpack_int4_tpu(p, s)
+    rel = float(jnp.abs(out - dense).max() / jnp.abs(dense).max())
+    assert rel < 0.02, rel
+
+
+def test_dynamic_int4_idx_matches_direct():
+    """Layer-indexed dyn-int4 twin must equal the direct kernel on the
+    selected layer, and the stacked-dispatch path must engage it when the
+    dynamic flag is set."""
+    from chatglm_q_tpu.ops.linear import StackedWeight, _int4_matmul_stacked
+
+    K, N, L = 512, 256, 3
+    x = rand((8, K), 52)
+    ps, ss = zip(*(make_int4(K, N, 60 + i) for i in range(L)))
+    pstack, sstack = jnp.stack(ps), jnp.stack(ss)
+    for lay in (0, 2):
+        got = PM.int4_dyn_matmul_pallas_idx(x, pstack, sstack,
+                                            jnp.int32(lay),
+                                            interpret=INTERPRET)
+        assert got is not None
+        want = PM.int4_dyn_matmul_pallas(x, ps[lay], ss[lay],
+                                         interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+    # dispatch: flags = (use_pallas, m_threshold, dynamic)
+    out = _int4_matmul_stacked(
+        (True, 128, True), x,
+        StackedWeight(pstack, jnp.int32(1)), StackedWeight(sstack, jnp.int32(1)))
+    want = PM.int4_dyn_matmul_pallas(x, ps[1], ss[1], interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("scheme", ["grouped", "bt_grouped", "selscale"])
 @pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (8, 576, 128)])
 def test_int4_fwd_alt_schemes(m, k, n, scheme, monkeypatch):

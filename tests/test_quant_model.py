@@ -108,3 +108,36 @@ def test_lmhead_vocab_padding_transparent():
 
     tok = top_p_sampling(jax.random.PRNGKey(0), logits[:, -1], 100, 0.99, 5.0)
     assert int(tok.max()) < cfg.vocab_size
+
+
+def test_dynamic_int4_model_close_to_weight_only():
+    """rt.dynamic_int8 now also covers int4g32 layers (s8×s8 MXU group
+    dots, no float dequant — docs/RESULTS.md round 5): serving decode under
+    the dynamic mode must stay within the documented ~1% activation-quant
+    error of the weight-only path, and must actually engage the dyn
+    kernels (kernel-capable shapes)."""
+    cfg = ChatGLM2Config(
+        hidden_size=256, inner_hidden_size=512, head_hidden_size=32,
+        num_multi_query_groups=2, num_attention_heads=8, num_layers=2,
+        vocab_size=512, max_sequence_length=64,
+    )
+    params = M.init_params(jax.random.PRNGKey(7), cfg, "int4g32", jnp.float32)
+    ids = jnp.asarray([[3, 17, 42, 99, 5]])
+    lengths = jnp.asarray([5], jnp.int32)
+
+    def run(rt):
+        cache = M.init_kv_cache(cfg, 1, 16, jnp.float32)
+        logits, cache = M.prefill(params, cfg, ids, lengths, cache,
+                                  "int4g32", jnp.float32, rt)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = M.decode_step(params, cfg, tok, cache, "int4g32",
+                                   jnp.float32, rt)
+        return logits, logits2
+
+    wo = run(TpuRuntimeConfig(use_pallas=True))       # interpret on CPU
+    dyn = run(TpuRuntimeConfig(use_pallas=True, dynamic_int8=True))
+    for a, b in zip(wo, dyn):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+        assert rel < 0.05, rel
+    # different numerics mode must actually differ (the kernels engaged)
+    assert float(jnp.abs(wo[1] - dyn[1]).max()) > 0.0

@@ -132,6 +132,15 @@ def test_transposed_and_dyn_compile():
         ((8, N), jnp.bfloat16), ((K, N), jnp.int8), ((N,), jnp.float32))
     aot(lambda x, w, s: PM.int8_dyn_matmul_pallas(x, w, s, interpret=False),
         ((8, K), jnp.bfloat16), ((K, N), jnp.int8), ((N,), jnp.float32))
+    # dyn-int4 (round 5): int4→int8 widen + s8×s8 MXU group dots must
+    # lower for v5e, direct and layer-indexed
+    aot(lambda x, p, s: PM.int4_dyn_matmul_pallas(x, p, s, interpret=False),
+        ((32, K), jnp.bfloat16), ((K // 2, N), jnp.uint8),
+        ((K // 32, N), jnp.bfloat16))
+    aot(lambda x, p, s, i: PM.int4_dyn_matmul_pallas_idx(x, p, s, i,
+                                                         interpret=False),
+        ((32, K), jnp.bfloat16), ((4, K // 2, N), jnp.uint8),
+        ((4, K // 32, N), jnp.bfloat16), ((), jnp.int32))
 
 
 def test_attention_kernels_compile():
