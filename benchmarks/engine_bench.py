@@ -53,6 +53,9 @@ def main():
                          "acceptance at 6B-shape compute")
     ap.add_argument("--full-batch", action="store_true",
                     help="paged engine: decode all slots (no compact bucket)")
+    ap.add_argument("--dyn-int8", action="store_true",
+                    help="dynamic activation quantization (int8 AND int4 "
+                         "layers — serving-throughput numerics mode)")
     ap.add_argument("--sampled", type=float, default=0.0,
                     help="submit with this temperature instead of greedy "
                          "(with --speculative-k: exact rejection-sampling "
@@ -63,7 +66,8 @@ def main():
     cfg = GLMLoadConfig(model_config=mc, quant_type="int4g32", torch_dtype="bfloat16")
     params = (make_echo_params(mc) if args.echo_model
               else make_params(mc, "int4g32"))
-    rt = TpuRuntimeConfig(use_flash_attention=args.flash or False)
+    rt = TpuRuntimeConfig(use_flash_attention=args.flash or False,
+                          dynamic_int8=args.dyn_int8)
 
     kw = dict(max_batch=args.max_batch, max_seq_len=args.max_seq,
               decode_chunk=args.decode_chunk, rt=rt,
@@ -112,6 +116,7 @@ def main():
         "echo_model": args.echo_model,
         "speculative_k": args.speculative_k,
         "full_batch": bool(getattr(eng, "_full_batch_decode", False)),
+        "dyn": args.dyn_int8,
         "generated_tokens": gen,
         "wall_s": round(wall, 2), "warmup_s": round(warm, 1),
         "agg_tokens_per_sec": round(gen / wall, 1),
