@@ -132,10 +132,13 @@ def int4_matmul(flags, x, packed, scale):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
-        if _dynamic_int8(flags):
+        if _dynamic_int8(flags) and x.shape[0] <= flags[1]:
             # dynamic activation quantization extends to int4 layers: s8×s8
             # MXU group dots, no float dequant (measured motivation:
-            # docs/RESULTS.md round 5, the b≥32 int8-over-int4 crossover)
+            # docs/RESULTS.md round 5, the b≥32 int8-over-int4 crossover).
+            # Decode-M only (flags[1] = decode_m_threshold): the group-32
+            # dots underuse the MXU at prefill M (measured 7.2k vs 12.1k
+            # prompt tok/s), where broadcast bf16 dequant amortizes anyway.
             out = PM.int4_dyn_matmul_pallas(xp, packed, scale)
             if out is not None:
                 return out
@@ -184,7 +187,8 @@ def _int4_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
-        if _dynamic_int8(flags):
+        if _dynamic_int8(flags) and x.shape[0] <= flags[1]:
+            # decode-M only — see int4_matmul
             out = PM.int4_dyn_matmul_pallas_idx(x, w.stack, s.stack, w.idx)
             if out is not None:
                 return out
