@@ -205,13 +205,18 @@ def _int8_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
     Ks = w.stack.shape[1]
     if x.shape[1] < Ks:
         x = jnp.pad(x, ((0, 0), (0, Ks - x.shape[1])))
-    if _use_pallas(flags) and not _dynamic_int8(flags):
+    if _use_pallas(flags):
         from . import pallas_matmul as PM
 
-        out = PM.int8_matmul_pallas_idx(x, w.stack, s.stack, w.idx)
-        if out is not None:
-            return out
-    if _use_pallas(flags):  # dynamic_int8 (no idx variant) or odd shapes
+        if _dynamic_int8(flags):
+            out = PM.int8_dyn_matmul_pallas_idx(x, w.stack, s.stack, w.idx)
+            if out is not None:
+                return out
+        else:
+            out = PM.int8_matmul_pallas_idx(x, w.stack, s.stack, w.idx)
+            if out is not None:
+                return out
+    if _use_pallas(flags):  # odd shapes: slice + non-indexed kernels
         from . import pallas_matmul as PM
 
         ws, ss = w.stack[w.idx], s.stack[s.idx]

@@ -1125,6 +1125,57 @@ def int4_dyn_matmul_pallas(x, packed, scale, *, bk_cap=2048, bn_cap=2048,
     return out[:M]
 
 
+def int8_dyn_matmul_pallas_idx(x, wstack, sstack, idx, *, bk_cap=2048,
+                               bn_cap=2048, interpret=None):
+    """Layer-indexed twin of :func:`int8_dyn_matmul_pallas` — the serving
+    scan must never slice the stacked weights (round-4 lesson).
+
+    wstack (L, K, N) int8, sstack (L, N), idx scalar int32."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    M, K = x.shape
+    Lw, K2, N = wstack.shape
+    assert K == K2, (K, K2)
+    bk = _largest_divisor(K, 256, _BK_CAP or bk_cap) \
+        or _largest_divisor(K, 32, bk_cap)
+    bn = _largest_divisor(N, 128, _BN_CAP or bn_cap)
+    if bk is None or bn is None:
+        return None
+    bm = _block_m(M)
+    xq, sx = _dyn_quantize_rows(x)
+    xqp = _pad_rows(xq, bm)
+    sxp = _pad_rows(sx, bm)
+    Mp = xqp.shape[0]
+    s3 = sstack.astype(jnp.float32).reshape(Lw, 1, N)
+
+    def kern(idx_ref, xq_ref, xs_ref, w_ref, s_ref, o_ref, acc_ref):
+        del idx_ref  # consumed by the index maps
+        _int8_dyn_kernel(xq_ref, xs_ref, w_ref.at[0], s_ref.at[0], o_ref,
+                         acc_ref)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Mp // bm, N // bn, K // bk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda m, n, k, i: (m, k)),
+                pl.BlockSpec((bm, 1), lambda m, n, k, i: (m, 0)),
+                pl.BlockSpec((1, bk, bn), lambda m, n, k, i: (i[0], k, n)),
+                pl.BlockSpec((1, 1, bn), lambda m, n, k, i: (i[0], 0, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, i: (m, n)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xqp, sxp, wstack, s3)
+    return out[:M]
+
+
 def int4_dyn_matmul_pallas_idx(x, pstack, sstack, idx, *, bk_cap=2048,
                                bn_cap=2048, interpret=None):
     """Layer-indexed twin of :func:`int4_dyn_matmul_pallas` (the serving

@@ -144,6 +144,33 @@ def test_dynamic_int8_matmul_close():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-5)
 
 
+def test_dynamic_int8_idx_matches_direct():
+    """Layer-indexed dyn-int8 twin (serving scan, no weight slicing) must
+    equal the direct dyn kernel on the selected layer, and the stacked
+    dispatch must engage it under the dynamic flag."""
+    from chatglm_q_tpu.ops.linear import StackedWeight, _int8_matmul_stacked
+
+    K, N, L = 512, 256, 3
+    x = rand((8, K), 45)
+    ws, ss = zip(*(make_int8(K, N, 70 + i) for i in range(L)))
+    wstack, sstack = jnp.stack(ws), jnp.stack(ss)
+    for lay in (0, 2):
+        got = PM.int8_dyn_matmul_pallas_idx(x, wstack, sstack,
+                                            jnp.int32(lay),
+                                            interpret=INTERPRET)
+        assert got is not None
+        want = PM.int8_dyn_matmul_pallas(x, ws[lay], ss[lay],
+                                         interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+    out = _int8_matmul_stacked(
+        (True, 128, True), x,
+        StackedWeight(wstack, jnp.int32(1)), StackedWeight(sstack, jnp.int32(1)))
+    want = PM.int8_dyn_matmul_pallas(x, ws[1], ss[1], interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def _int4_dyn_oracle(x, p, s):
     """Exact jnp formulation of the dyn-int4 kernel's math: per-row s8
     activations, per-group int dots, scales on the partials."""

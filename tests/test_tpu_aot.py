@@ -141,6 +141,10 @@ def test_transposed_and_dyn_compile():
                                                          interpret=False),
         ((32, K), jnp.bfloat16), ((4, K // 2, N), jnp.uint8),
         ((4, K // 32, N), jnp.bfloat16), ((), jnp.int32))
+    aot(lambda x, w, s, i: PM.int8_dyn_matmul_pallas_idx(x, w, s, i,
+                                                         interpret=False),
+        ((32, K), jnp.bfloat16), ((4, K, N), jnp.int8),
+        ((4, N), jnp.float32), ((), jnp.int32))
 
 
 def test_attention_kernels_compile():
