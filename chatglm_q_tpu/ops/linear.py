@@ -52,6 +52,12 @@ def _dynamic_int8(flags) -> bool:
     return len(flags) > 2 and flags[2]
 
 
+# int4-dyn dispatch ceiling: the group-32 s8 dots win at M 1-64 (+12-30%
+# measured) and lose from M=128 up (spec verify chunks, prefill) — see
+# docs/RESULTS.md round 5.  int8-dyn has no such ceiling (full-bk dots).
+_INT4_DYN_M_MAX = 64
+
+
 # ---------------------------------------------------------------------------
 # int8: y = x @ (w * scale[None, :])   with w int8 (K, N), scale (N,)
 # ---------------------------------------------------------------------------
@@ -132,13 +138,13 @@ def int4_matmul(flags, x, packed, scale):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
-        if _dynamic_int8(flags) and x.shape[0] <= flags[1]:
+        if _dynamic_int8(flags) and x.shape[0] <= _INT4_DYN_M_MAX:
             # dynamic activation quantization extends to int4 layers: s8×s8
             # MXU group dots, no float dequant (measured motivation:
             # docs/RESULTS.md round 5, the b≥32 int8-over-int4 crossover).
-            # Decode-M only (flags[1] = decode_m_threshold): the group-32
-            # dots underuse the MXU at prefill M (measured 7.2k vs 12.1k
-            # prompt tok/s), where broadcast bf16 dequant amortizes anyway.
+            # Small-M only: the group-32 dots underuse the MXU as M grows —
+            # measured wins at M 1-64 (+12-30%), losses at M=128 (spec
+            # verify chunks −8%) and prefill M (7.2k vs 12.1k tok/s).
             out = PM.int4_dyn_matmul_pallas(xp, packed, scale)
             if out is not None:
                 return out
@@ -187,8 +193,8 @@ def _int4_matmul_stacked(flags, x, w: StackedWeight, s: StackedWeight):
     if _use_pallas(flags):
         from . import pallas_matmul as PM
 
-        if _dynamic_int8(flags) and x.shape[0] <= flags[1]:
-            # decode-M only — see int4_matmul
+        if _dynamic_int8(flags) and x.shape[0] <= _INT4_DYN_M_MAX:
+            # small-M only — see int4_matmul
             out = PM.int4_dyn_matmul_pallas_idx(x, w.stack, s.stack, w.idx)
             if out is not None:
                 return out
