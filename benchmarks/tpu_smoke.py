@@ -224,6 +224,20 @@ def main():
     want = x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8)
     check("int8_dynamic", got, want, rtol=8e-2, atol=2.0)
 
+    # dynamic-activation int4 (round 5: int4→s8 widen, s8×s8 group dots)
+    got = PM.int4_dyn_matmul_pallas(x, p4, s4)
+    want = x.astype(jnp.float32) @ Q.unpack_int4_tpu(p4, s4)
+    check("int4_dynamic", got, want, rtol=8e-2, atol=2.0)
+    # layer-indexed dyn twins (the serving-scan path)
+    p4s = jnp.stack([p4, p4])
+    s4s = jnp.stack([s4, s4])
+    got = PM.int4_dyn_matmul_pallas_idx(x, p4s, s4s, jnp.int32(1))
+    check("int4_dynamic_idx", got, want, rtol=8e-2, atol=2.0)
+    got = PM.int8_dyn_matmul_pallas_idx(
+        x, jnp.stack([w8, w8]), jnp.stack([s8, s8]), jnp.int32(0))
+    want8 = x.astype(jnp.float32) @ (w8.astype(jnp.float32) * s8)
+    check("int8_dynamic_idx", got, want8, rtol=8e-2, atol=2.0)
+
     print(f"[{time.time()-T0:6.1f}s] {'ALL PASS' if not FAILED else 'FAILURES: ' + ','.join(FAILED)}",
           flush=True)
     sys.exit(1 if FAILED else 0)
