@@ -36,6 +36,10 @@ def _free_port() -> int:
 def _run_workers(n_proc: int, tmp_path, engine: str = "dense") -> list[dict]:
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # workers must import the package even when the editable install is
+    # absent (session resets wipe site-packages; cwd covers the parent only)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs, outs = [], []
     for i in range(n_proc):
         out = tmp_path / f"out_{engine}_{n_proc}p_{i}.json"
